@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Headline benchmark: Fp128 NTT throughput vs the reference CPU FFT.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: reference BM_FFT_Fp128/2^20 = 57.06 ms single-threaded Mac M4
+(docs/content/en/docs/benchmarks.md:30; see BASELINE.md).  vs_baseline
+is the speedup factor (reference_time / our_time).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from longfellow_zk_tpu.fields.fp_instances import (
+    fp128,
+    P128_OMEGA,
+    P128_OMEGA_ORDER,
+)
+from longfellow_zk_tpu.transforms.ntt import NTT
+
+BASELINE_MS = 57.06  # reference BM_FFT_Fp128/1048576
+N = 1 << 20
+
+
+def main():
+    F = fp128()
+    ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
+    rng = np.random.default_rng(0)
+    # random residues; build limbs directly (uniform 16-bit limbs with a
+    # top-limb clamp keeps values < p without host bigint conversion)
+    limbs = rng.integers(0, 1 << 16, size=(F.L, N), dtype=np.uint32)
+    limbs[F.L - 1] &= 0x7FFF  # < 2^127 < p
+    x = jnp.asarray(limbs)
+
+    fftb = jax.jit(ntt.fftb)
+    y = fftb(x)
+    y.block_until_ready()  # compile + warm up
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fftb(x)
+    y.block_until_ready()
+    dt_ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    print(json.dumps({
+        "metric": "fft_fp128_2e20_ms",
+        "value": round(dt_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / dt_ms, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

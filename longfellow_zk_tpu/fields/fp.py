@@ -153,26 +153,50 @@ class PrimeField:
         return (x * self.Rinv) % self.p
 
     def to_limbs(self, xs: Union[int, Sequence[int], np.ndarray]) -> np.ndarray:
-        """ints (natural form) -> uint32[L] or [L, n] Montgomery limbs."""
+        """ints (natural form) -> uint32[L] or [L, n] Montgomery limbs.
+
+        Bulk path via bytes + frombuffer (fast for large witnesses)."""
         if isinstance(xs, (int, np.integer)):
             return _int_to_limbs16(self.to_mont_int(int(xs)), self.L)
-        out = np.zeros((self.L, len(xs)), dtype=np.uint32)
-        for j, x in enumerate(xs):
-            out[:, j] = _int_to_limbs16(self.to_mont_int(int(x)), self.L)
-        return out
+        R, p, nb = self.R, self.p, 2 * self.L
+        buf = b"".join(
+            ((int(x) * R) % p).to_bytes(nb, "little") for x in xs
+        )
+        arr = np.frombuffer(buf, dtype="<u2").reshape(len(xs), self.L)
+        return np.ascontiguousarray(arr.T).astype(np.uint32)
 
     def from_limbs(self, arr) -> Union[int, np.ndarray]:
         """uint32[L, ...] Montgomery limbs -> natural-form ints."""
         a = np.asarray(arr)
         assert a.shape[0] == self.L
-        flat = a.reshape(self.L, -1)
+        flat = a.reshape(self.L, -1).T.astype("<u2")  # [n, L]
+        raw = flat.tobytes()
+        nb = 2 * self.L
+        Rinv, p = self.Rinv, self.p
         vals = [
-            self.from_mont_int(_limbs16_to_int(flat[:, j]))
-            for j in range(flat.shape[1])
+            (int.from_bytes(raw[j * nb : (j + 1) * nb], "little") * Rinv) % p
+            for j in range(flat.shape[0])
         ]
         if a.ndim == 1:
             return vals[0]
         return np.array(vals, dtype=object).reshape(a.shape[1:])
+
+    # -- natural-form device serialization (for hashing/serialization) --
+
+    def from_mont_device(self, a: Array) -> Array:
+        """Montgomery limbs -> natural-value limbs, on device."""
+        nat_one = np.zeros(self.L, dtype=np.uint32)
+        nat_one[0] = 1
+        one = jnp.asarray(nat_one).reshape((self.L,) + (1,) * (a.ndim - 1))
+        return self.mul(a, jnp.broadcast_to(one, a.shape))
+
+    def natural_limbs_to_bytes_np(self, arr) -> np.ndarray:
+        """np uint32[L, ...] natural limbs -> uint8[..., kBytes] LE bytes."""
+        a = np.asarray(arr)
+        moved = np.moveaxis(a, 0, -1).astype("<u2")  # [..., L]
+        raw = np.frombuffer(moved.tobytes(), dtype=np.uint8)
+        out = raw.reshape(moved.shape[:-1] + (2 * self.L,))
+        return out[..., : self.kBytes]
 
     # ------------------------------------------------------------------
     # device ops (uint32[L, ...] Montgomery form)
@@ -296,8 +320,14 @@ class PrimeField:
         """
         L = self.L
         shp = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        a = jnp.broadcast_to(a, (L,) + shp)
-        b = jnp.broadcast_to(b, (L,) + shp)
+
+        def bc(x):
+            tail = x.shape[1:]
+            x = x.reshape((L,) + (1,) * (len(shp) - len(tail)) + tail)
+            return jnp.broadcast_to(x, (L,) + shp)
+
+        a = bc(a)
+        b = bc(b)
         # outer product columns
         P = a[:, None] * b[None, :]  # [L, L, ...]
         PL = P & MASK16
@@ -413,5 +443,64 @@ class PrimeField:
         """cond ? a : b, cond is bool[batch...]."""
         return jnp.where(cond[None, ...], a, b)
 
-    # convenience: dot product along an axis with lazy accumulation is
-    # provided in transforms/blas.py
+    # ------------------------------------------------------------------
+    # lazy-accumulation reductions (the TPU analogue of the reference
+    # Accum dot-product trick, fp_generic.h:424-458): split limbs into
+    # bytes so uint32 column sums cannot overflow for <= 2^24 addends,
+    # sum with ordinary integer adds, then renormalize once.
+    # ------------------------------------------------------------------
+
+    def _renormalize(self, cols: Array) -> Array:
+        """uint32[2L, ...] byte-columns (value = sum cols[k] 256^k) -> canonical."""
+        L = self.L
+        # carry-propagate at byte granularity (column values < 2^32,
+        # carries < 2^24 -> no uint32 overflow), then pair into 16-bit limbs
+        bytes_out = []
+        carry = jnp.zeros_like(cols[0])
+        for k in range(2 * L):
+            cur = cols[k] + carry
+            bytes_out.append(cur & np.uint32(0xFF))
+            carry = cur >> np.uint32(8)
+        limbs = [bytes_out[2 * i] | (bytes_out[2 * i + 1] << np.uint32(8))
+                 for i in range(L)]
+        # residual carry < 2^32: value = low + carry * 2^(16L)
+        low = self._stack(self._cond_sub_p(limbs, jnp.zeros_like(carry)))
+        # carry as a (canonical, Montgomery-form-agnostic) field element:
+        # carry < 2^32 so its limbs are [c&0xffff, c>>16, 0, ...]; it is a
+        # plain integer multiplier of 2^(16L), and both addends are in
+        # Montgomery form already (linearity).
+        c_limbs = [carry & MASK16, carry >> np.uint32(16)] + \
+            [jnp.zeros_like(carry)] * (L - 2)
+        c_elt = self._stack(c_limbs)
+        # multiply by constant 2^(16L) mod p: as a Montgomery-domain
+        # correction we need (carry * 2^(16L)) mod p in the same domain as
+        # the inputs; since everything is linear, treat carry as limbs in
+        # the same domain and multiply by the natural constant 2^(16L).
+        shift_const = pow(2, 16 * self.L, self.p)
+        return self.add(low, self.mul_const(c_elt, shift_const))
+
+    def _byte_split(self, a: Array) -> Array:
+        """uint32[L, ...] 16-bit limbs -> uint32[2L, ...] bytes."""
+        parts = []
+        for i in range(self.L):
+            parts.append(a[i] & np.uint32(0xFF))
+            parts.append(a[i] >> np.uint32(8))
+        return jnp.stack(parts, axis=0)
+
+    def lazy_sum(self, a: Array, axis: int) -> Array:
+        """Field sum along `axis` (axis counted excluding the limb axis 0)."""
+        b = self._byte_split(a)
+        s = jnp.sum(b, axis=axis + 1)
+        return self._renormalize(s)
+
+    def lazy_segment_sum(self, a: Array, seg_ids, num_segments: int) -> Array:
+        """Field segment-sum over axis 1 (terms): [L, T, ...] -> [L, S, ...].
+
+        seg_ids: int array [T].  Bound: <= 2^24 addends per segment.
+        """
+        b = self._byte_split(a)  # [2L, T, ...]
+        moved = jnp.moveaxis(b, 1, 0)  # [T, 2L, ...]
+        summed = jax.ops.segment_sum(moved, jnp.asarray(seg_ids),
+                                     num_segments=num_segments)
+        s = jnp.moveaxis(summed, 0, 1)  # [2L, S, ...]
+        return self._renormalize(s)

@@ -198,3 +198,23 @@ class Fp2:
 
     def select(self, cond: Array, a: Array, b: Array) -> Array:
         return jnp.where(cond[None, None, ...], a, b)
+
+    def from_mont_device(self, a: Array) -> Array:
+        return jnp.stack([self.f.from_mont_device(a[0]),
+                          self.f.from_mont_device(a[1])])
+
+    def natural_limbs_to_bytes_np(self, arr) -> np.ndarray:
+        a = np.asarray(arr)
+        re = self.f.natural_limbs_to_bytes_np(a[0])
+        im = self.f.natural_limbs_to_bytes_np(a[1])
+        return np.concatenate([re, im], axis=-1)
+
+    def lazy_sum(self, a: Array, axis: int) -> Array:
+        return jnp.stack([self.f.lazy_sum(a[0], axis),
+                          self.f.lazy_sum(a[1], axis)])
+
+    def lazy_segment_sum(self, a: Array, seg_ids, num_segments: int) -> Array:
+        return jnp.stack([
+            self.f.lazy_segment_sum(a[0], seg_ids, num_segments),
+            self.f.lazy_segment_sum(a[1], seg_ids, num_segments),
+        ])

@@ -128,12 +128,13 @@ class MerkleTreeVerifier:
 # Nonce-blinded commitment (merkle_commitment.h)
 # ---------------------------------------------------------------------------
 
-NONCE_LEN = 16
+NONCE_LEN = 32  # MerkleNonce::kLength == kSHA256DigestSize
 
 
-def leaf_hash(data: bytes, nonce: bytes) -> bytes:
-    """H(column bytes || 16-byte nonce) (merkle_commitment.h:39-47)."""
-    return hashlib.sha256(data + nonce).digest()
+def leaf_hash(column_bytes: bytes, nonce: bytes) -> bytes:
+    """H(32-byte nonce || column bytes) (merkle_commitment.h:50-61:
+    the nonce is absorbed first, then the column)."""
+    return hashlib.sha256(nonce + column_bytes).digest()
 
 
 class MerkleCommitment:

@@ -1,0 +1,117 @@
+"""Layered sumcheck circuit representation.
+
+Semantic twin of reference lib/sumcheck/circuit.h:29-147, with the quad
+stored as flat index arrays (structure-of-arrays) instead of the
+reference's delta-encoded iterator: the indices are static host numpy
+data used to shape device gathers and segment-sums, and the constants
+live on device as planar limb tensors.
+
+A term (g, h0, h1, v) contributes v * W[h1, c] * W[h0, c] to output wire
+g of each copy c; v == 0 marks an assert-zero term whose coefficient is
+the per-layer beta challenge at proving time (quad.h:213-220).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+KMAX_LAYERS = 10000
+KMAX_COPIES = 1 << 24
+KMAX_OUTPUTS = 1 << 24
+KMAX_BINDINGS = 40  # max 2^40 gates/wires/copies per layer (circuit.h:78)
+
+
+@dataclass
+class Quad:
+    """Sparse quadratic form; one entry per term."""
+
+    g: np.ndarray  # int32 [T] output wire index
+    h0: np.ndarray  # int32 [T] right-hand input wire
+    h1: np.ndarray  # int32 [T] left-hand input wire
+    v: List  # [T] host field scalars; 0 == assert-zero (beta) marker
+
+    _v_limbs: Optional[object] = None  # device cache
+    _beta_mask: Optional[np.ndarray] = None
+
+    @property
+    def nterms(self) -> int:
+        return len(self.v)
+
+    def beta_mask(self) -> np.ndarray:
+        if self._beta_mask is None:
+            self._beta_mask = np.array([x == 0 for x in self.v], dtype=bool)
+        return self._beta_mask
+
+    def v_limbs(self, F):
+        """Device constants [L.., T] with 1 substituted at beta markers
+        (the actual beta scale is applied at bind time)."""
+        if self._v_limbs is None:
+            vals = [1 if x == 0 else x for x in self.v]
+            self._v_limbs = jnp.asarray(F.to_limbs(vals))
+        return self._v_limbs
+
+
+@dataclass
+class Layer:
+    nw: int  # number of inputs to this layer
+    logw: int
+    quad: Quad
+
+    @property
+    def nterms(self) -> int:
+        return self.quad.nterms
+
+
+@dataclass
+class Circuit:
+    nv: int  # outputs of one copy
+    logv: int
+    nc: int  # copies
+    logc: int
+    nl: int  # layers
+    ninputs: int
+    npub_in: int
+    subfield_boundary: int
+    layers: List[Layer] = field(default_factory=list)
+    id: bytes = b"\x00" * 32
+
+    def nterms(self) -> int:
+        return sum(layer.nterms for layer in self.layers)
+
+
+@dataclass
+class LayerProof:
+    cp: List  # [logc] CPoly: 4 evals each
+    hp: List  # [2][logw] WPoly: 3 evals each
+    wc: List  # 2 claims
+
+
+@dataclass
+class Proof:
+    layers: List[LayerProof] = field(default_factory=list)
+
+
+@dataclass
+class ProofAux:
+    """bound_quad per layer, used by the ZK composition (circuit.h:142)."""
+
+    bound_quad: List = field(default_factory=list)
+
+
+@dataclass
+class LayerChallenge:
+    alpha: object = None
+    beta: object = None
+    cb: List = field(default_factory=list)
+    hb: List = field(default_factory=list)  # [2][logw]
+
+
+@dataclass
+class Challenge:
+    q: List = field(default_factory=list)  # [kMaxBindings]
+    g: List = field(default_factory=list)
+    layers: List = field(default_factory=list)

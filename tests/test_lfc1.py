@@ -1,0 +1,119 @@
+"""LFC1 circuit serialization tests against the reference spec vector
+(docs/specs/testvectors.md 'Test Vectors for Circuit')."""
+
+import numpy as np
+
+from longfellow_zk_tpu.fields.fp_instances import fp128
+from longfellow_zk_tpu.proto.lfc1 import (
+    FP128_ID,
+    circuit_id,
+    read_circuit,
+    write_circuit,
+)
+
+# s-gonal circuit over Fp128 (testvectors.md Circuit Vector 1):
+# C(n, m, s) = 0 iff 2n = (s-2)m^2 - (s-4)m.  Depth 3, 11 quads/terms.
+SGONAL_HEX = (
+    "01060000010000010000020000040000020000040000ffffffffffffffffffffffff"
+    "ffefffff00000000000000000000000000f0ffff0100000000000000000000000000"
+    "0000fdffffffffffffffffffffffffefffff03000006000003000000000002000000"
+    "00000000000000000800000400000100000000000300000200000200000200000400"
+    "00080000000000000000000000020000060000000000000000000000040000000000"
+    "00000003000009000002000000000002000002000002000000000002000002000002"
+    "0000000000020000040000000000000000020000030000030000040000020000"
+)
+
+
+def test_read_sgonal_vector():
+    F = fp128()
+    data = bytes.fromhex(SGONAL_HEX)
+    circ = read_circuit(F, FP128_ID, data, enforce_circuit_id=False)
+    assert circ is not None
+    assert circ.nl == 2  # spec "Depth: 3" counts the input layer
+    assert circ.nterms() == 11
+    assert circ.nc == 1
+    # verify structural invariants
+    for layer in circ.layers:
+        assert layer.nw <= 1 << layer.logw
+
+
+def test_roundtrip_sgonal():
+    # the spec vector uses the legacy header; our writer emits the
+    # current format, so roundtrip through write->read and compare
+    # structures (and check write->read->write is a fixed point).
+    F = fp128()
+    data = bytes.fromhex(SGONAL_HEX)
+    circ = read_circuit(F, FP128_ID, data)
+    out = write_circuit(F, FP128_ID, circ)
+    circ2 = read_circuit(F, FP128_ID, out)
+    assert circ2 is not None
+    assert write_circuit(F, FP128_ID, circ2) == out
+    assert circ2.nterms() == circ.nterms()
+    assert circ2.nl == circ.nl and circ2.ninputs == circ.ninputs
+    for l1, l2 in zip(circ.layers, circ2.layers):
+        assert l1.nw == l2.nw and l1.logw == l2.logw
+        assert list(l1.quad.g) == list(l2.quad.g)
+        assert list(l1.quad.h0) == list(l2.quad.h0)
+        assert list(l1.quad.h1) == list(l2.quad.h1)
+        assert l1.quad.v == l2.quad.v
+
+
+def test_prove_verify_sgonal_circuit():
+    """Drive a real reference circuit end-to-end through our sumcheck."""
+    import itertools
+    import jax.numpy as jnp
+    from longfellow_zk_tpu.random_oracle.transcript import Transcript
+    from longfellow_zk_tpu.sumcheck.prover import SumcheckProver
+    from longfellow_zk_tpu.sumcheck.transcript_sumcheck import (
+        TranscriptSumcheck)
+    from longfellow_zk_tpu.sumcheck.verifier import verify
+
+    F = fp128()
+    circ = read_circuit(F, FP128_ID, bytes.fromhex(SGONAL_HEX))
+    prover = SumcheckProver(F)
+    # witness: 12 is the 3rd pentagonal number: 2*12 = (5-2)*9 - (5-4)*3
+    n, m, s = 12, 3, 5
+    good = None
+    for perm in itertools.permutations([n, m, s, 1]):
+        W = list(perm)
+        W0 = jnp.asarray(F.to_limbs(W)).reshape(F.L, 4, 1)
+        inputs, finalV = prover.eval_circuit(circ, W0)
+        if finalV is not None:
+            import numpy as np
+            out = F.from_limbs(np.asarray(finalV))
+            if all(v == 0 for v in np.ravel(out)):
+                good = W
+                break
+    assert good is not None, "no satisfying wire order found"
+    W0 = jnp.asarray(F.to_limbs(good)).reshape(F.L, 4, 1)
+    inputs, _ = prover.eval_circuit(circ, W0)
+    W_host = [good]
+    tsp = Transcript(b"testing")
+    tss = TranscriptSumcheck(tsp, F)
+    tss.write_input(W_host)
+    proof, _, _ = prover.prove(circ, inputs, tss)
+    tsv = Transcript(b"testing")
+    ok, why = verify(circ, proof, W_host, TranscriptSumcheck(tsv, F), F)
+    assert ok, why
+
+
+def test_wrong_field_id_rejected():
+    F = fp128()
+    data = bytes.fromhex(SGONAL_HEX)
+    assert read_circuit(F, FP128_ID + 1, data) is None
+
+
+def test_truncated_rejected():
+    F = fp128()
+    data = bytes.fromhex(SGONAL_HEX)
+    assert read_circuit(F, FP128_ID, data[:-10]) is None
+
+
+def test_circuit_id_stability():
+    F = fp128()
+    data = bytes.fromhex(SGONAL_HEX)
+    circ = read_circuit(F, FP128_ID, data)
+    cid = circuit_id(F, circ)
+    assert len(cid) == 32
+    # id must be deterministic
+    assert cid == circuit_id(F, circ)
