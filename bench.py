@@ -41,14 +41,16 @@ def main():
     x = jnp.asarray(limbs)
 
     fftb = jax.jit(ntt.fftb)
+    # warm up (compile); force completion via host readback — on the axon
+    # relay, block_until_ready returns before execution finishes.
     y = fftb(x)
-    y.block_until_ready()  # compile + warm up
+    np.asarray(y[0, :1])
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         y = fftb(x)
-    y.block_until_ready()
+    np.asarray(y[0, :1])  # forces the queued executions to complete
     dt_ms = (time.perf_counter() - t0) / iters * 1000.0
 
     print(json.dumps({

@@ -1,0 +1,221 @@
+"""Circuit components: polynomial evaluation, bit plucking, bit adders.
+
+Semantic twins of reference lib/circuits/logic/{polynomial.h,
+bit_plucker.h, bit_plucker_encoder.h, bit_plucker_constants.h,
+bit_adder.h} and lib/algebra/interpolation.h (monomial_of_lagrange).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from .logic import BitW, Logic
+
+
+# ---------------------------------------------------------------------------
+# host polynomial interpolation (lib/algebra/interpolation.h)
+# ---------------------------------------------------------------------------
+
+def monomial_of_lagrange(F, Y: Sequence, X: Sequence) -> List:
+    """Monomial coefficients of the polynomial with values Y at points X."""
+    n = len(X)
+    # Newton: divided differences
+    coef = list(Y)
+    for j in range(1, n):
+        for i in range(n - 1, j - 1, -1):
+            num = F.sub_i(coef[i], coef[i - 1])
+            den = F.sub_i(X[i], X[i - j])
+            coef[i] = F.mul_i(num, F.inv_i(den))
+    # expand Newton form to monomial basis
+    poly = [F.of_scalar(0)] * n
+    poly[0] = coef[n - 1]
+    deg = 0
+    for j in range(n - 2, -1, -1):
+        # poly = poly * (x - X[j]) + coef[j]
+        new = [F.of_scalar(0)] * n
+        for i in range(deg + 1):
+            new[i + 1] = F.add_i(new[i + 1], poly[i])
+            new[i] = F.sub_i(new[i], F.mul_i(poly[i], X[j]))
+        new[0] = F.add_i(new[0], coef[j])
+        poly = new
+        deg += 1
+    return poly
+
+
+# ---------------------------------------------------------------------------
+# in-circuit polynomial evaluation (lib/circuits/logic/polynomial.h)
+# ---------------------------------------------------------------------------
+
+class Polynomial:
+    def __init__(self, l: Logic):
+        self.l = l
+
+    def powers_of_x(self, n: int, x):
+        L = self.l
+        xi = [None] * n
+        if n > 0:
+            xi[0] = L.konst(1)
+            if n > 1:
+                xi[1] = x
+                for k in range(2, n):
+                    xi[k] = L.mul(xi[k - k // 2], xi[k // 2])
+        return xi
+
+    def eval(self, coefs: Sequence, x):
+        """Powers-of-x dot product (polynomial.h:52-67); coefs are host
+        field scalars."""
+        L = self.l
+        xi = self.powers_of_x(len(coefs), x)
+        r = L.konst(0)
+        for i, c in enumerate(coefs):
+            r = L.add(r, L.bk.ax(c, xi[i]))
+        return r
+
+
+# ---------------------------------------------------------------------------
+# bit plucker (bit_plucker.h / _constants.h / _encoder.h)
+# ---------------------------------------------------------------------------
+
+def bit_plucker_point(F, n: int, bits: int):
+    """F.of_scalar(2*bits) - F.of_scalar(n-1) (bit_plucker_constants.h)."""
+    if F.kCharacteristicTwo:
+        return F.sub_i(F.of_scalar(2 * bits), F.of_scalar(n - 1))
+    return F.sub_i(F.of_scalar((2 * bits) % F.p), F.of_scalar((n - 1) % F.p))
+
+
+class BitPlucker:
+    """Decode packed logn-bit inputs into bits via degree-2^logn
+    interpolation (bit_plucker.h:103-178)."""
+
+    def __init__(self, l: Logic, logn: int):
+        self.l = l
+        self.logn = logn
+        self.kN = 1 << logn
+        self.kNv32Elts = (32 + logn - 1) // logn
+        F = l.F
+        X = [bit_plucker_point(F, self.kN, i) for i in range(self.kN)]
+        self.pluckers = []
+        for k in range(logn):
+            Y = [F.of_scalar((i >> k) & 1) for i in range(self.kN)]
+            self.pluckers.append(monomial_of_lagrange(F, Y, X))
+
+    def pluck(self, e) -> List[BitW]:
+        L = self.l
+        P = Polynomial(L)
+        out = []
+        for k in range(self.logn):
+            v = P.eval(self.pluckers[k], e)
+            L.assert_is_bit_elt(v)
+            out.append(L.bitw_of(v))
+        return out
+
+    def unpack_v32(self, packed: Sequence) -> List[BitW]:
+        return self.unpack(packed, 32)
+
+    def unpack(self, packed: Sequence, nbits: int) -> List[BitW]:
+        r = [None] * nbits
+        for i, e in enumerate(packed):
+            b = self.pluck(e)
+            for j in range(self.logn):
+                if self.logn * i + j < nbits:
+                    r[self.logn * i + j] = b[j]
+        return r
+
+
+class BitPluckerEncoder:
+    """Host-side packing matching BitPlucker (bit_plucker_encoder.h)."""
+
+    def __init__(self, F, logn: int):
+        self.F = F
+        self.logn = logn
+        self.kN = 1 << logn
+        self.kNv32Elts = (32 + logn - 1) // logn
+
+    def encode(self, i: int):
+        return bit_plucker_point(self.F, self.kN, i)
+
+    def mkpacked_v32(self, j: int) -> List:
+        r = []
+        for _ in range(self.kNv32Elts):
+            r.append(self.encode(j & (self.kN - 1)))
+            j >>= self.logn
+        return r
+
+    def pack_bits(self, bits: Sequence[int], nelts: int) -> List:
+        r = []
+        for i in range(nelts):
+            v = 0
+            for j in range(self.logn):
+                if i * self.logn + j < len(bits):
+                    v += (bits[i * self.logn + j] & 1) << j
+            r.append(self.encode(v))
+        return r
+
+
+# ---------------------------------------------------------------------------
+# bit adder (bit_adder.h)
+# ---------------------------------------------------------------------------
+
+class BitAdder:
+    """Map bitvec<N> to a field element supporting cheap addition; in odd
+    characteristic uses the additive group, in GF(2^k) the multiplicative
+    group generated by x (bit_adder.h:33-137)."""
+
+    def __init__(self, l: Logic, n: int):
+        self.l = l
+        self.n = n
+        F = l.F
+        if F.kCharacteristicTwo:
+            alpha = 0b10  # x
+            self.alpha_2_i = []
+            for _ in range(n):
+                self.alpha_2_i.append(alpha)
+                alpha = F.mul_i(alpha, alpha)
+            self.alpha_2_n = alpha
+
+    def as_field_element(self, v: Sequence[BitW]):
+        L, F = self.l, self.l.F
+        if not F.kCharacteristicTwo:
+            r = L.konst(0)
+            for i in range(self.n):
+                r = L.bk.axpy(r, F.of_scalar((1 << i) % F.p), L.eval(v[i]))
+            return r
+        return L.mul_range(
+            0, self.n,
+            lambda i: L.mux_elt(v[i], L.bk.konst(self.alpha_2_i[i]),
+                                L.bk.konst(F.of_scalar(1))))
+
+    def add2(self, a, b):
+        L, F = self.l, self.l.F
+        if not F.kCharacteristicTwo:
+            return L.add(a, b)
+        return L.mul(a, b)
+
+    def add(self, vs: Sequence):
+        """Sum of bitvecs (as field elements)."""
+        L, F = self.l, self.l.F
+        terms = [self.as_field_element(v) if isinstance(v, (list, tuple))
+                 else v for v in vs]
+        if not F.kCharacteristicTwo:
+            return L.add_range(0, len(terms), lambda i: terms[i])
+        return L.mul_range(0, len(terms), lambda i: terms[i])
+
+    def assert_eqmod(self, a: Sequence[BitW], b, k: int):
+        """assert b == a + i*2^N (or the multiplicative analogue) for some
+        0 <= i < k (bit_adder.h:69-76, 118-129)."""
+        L, F = self.l, self.l.F
+        if not F.kCharacteristicTwo:
+            z = L.sub(b, self.as_field_element(a))
+            zz = L.mul_range(
+                0, k,
+                lambda i: L.sub(z, L.bk.konst(
+                    F.of_scalar(((1 << self.n) * i) % F.p))))
+            L.assert0_elt(zz)
+        else:
+            p = [F.of_scalar(1)]
+            for i in range(1, k):
+                p.append(F.mul_i(self.alpha_2_n, p[-1]))
+            aa = self.as_field_element(a)
+            prod = L.mul_range(
+                0, k, lambda i: L.sub(b, L.bk.ax(p[i], aa)))
+            L.assert0_elt(prod)

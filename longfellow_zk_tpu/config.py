@@ -1,16 +1,26 @@
 """Global backend configuration.
 
-The limb-unrolled field kernels fuse best on TPU but their large HLO
-graphs choke the XLA *CPU* backend's LLVM pipeline (minutes per compile
-for 256-bit fields).  The graph-compact scan-based kernels compile fast
-everywhere at some fusion cost.  Default: unrolled on TPU, compact on CPU.
+Two implementations exist for the Montgomery multiply:
+
+- *unrolled*: ~100-600 flat uint32 ops; fuses well, no control flow.
+- *compact*: outer-product + lax.scan reduction; tiny traced graph.
+
+Choice matters because of two failure modes measured in this repo:
+- XLA **CPU** LLVM chokes (minutes) compiling big compositions of the
+  unrolled form (e.g. Fp2/P-256 mul chains under jit);
+- the compact form's lax.scan triggers a fresh XLA compile on every
+  **eager** call with a new shape (~68 ms each, dominating the sumcheck
+  prover: 1500 compiles per layer).
+
+Resolution: on TPU always unrolled; on CPU use unrolled for eager
+dispatch and compact only while tracing under jit.
 """
 
 from __future__ import annotations
 
 import jax
 
-_unrolled_mul = None  # None = auto by backend
+_unrolled_mul = None  # None = auto
 
 
 def set_unrolled_mul(value) -> None:
@@ -22,4 +32,11 @@ def set_unrolled_mul(value) -> None:
 def unrolled_mul() -> bool:
     if _unrolled_mul is not None:
         return _unrolled_mul
-    return jax.default_backend() not in ("cpu",)
+    if jax.default_backend() != "cpu":
+        return True
+    try:
+        from jax._src import core as _core
+
+        return _core.trace_state_clean()  # eager -> unrolled
+    except Exception:
+        return False
