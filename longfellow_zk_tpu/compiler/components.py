@@ -152,6 +152,82 @@ class BitPluckerEncoder:
         return r
 
 
+class UnaryPlucker:
+    """One-hot decode of an interpolation-packed value
+    (unary_plucker.h:29-77): pluck point NJ decodes to all zeroes."""
+
+    def __init__(self, l: Logic, nj: int):
+        self.l = l
+        self.nj = nj
+        kN = nj + 1
+        F = l.F
+        X = [bit_plucker_point(F, kN, i) for i in range(kN)]
+        self.pluckers = []
+        for j in range(nj):
+            Y = [F.of_scalar(1 if i == j else 0) for i in range(kN)]
+            self.pluckers.append(monomial_of_lagrange(F, Y, X))
+
+    def pluck(self, e) -> List[BitW]:
+        L = self.l
+        P = Polynomial(L)
+        out = []
+        for j in range(self.nj):
+            v = P.eval(self.pluckers[j], e)
+            L.assert_is_bit_elt(v)
+            out.append(L.bitw_of(v))
+        return out
+
+
+class Memcmp:
+    """Lexicographic byte-array comparison (memcmp.h:30-66); inputs are
+    lists of v8 (LSB-first bit lists)."""
+
+    def __init__(self, l: Logic):
+        self.l = l
+
+    def _arrange(self, bytes_v8) -> List[BitW]:
+        bits = []
+        for i in range(len(bytes_v8) - 1, -1, -1):
+            bits.extend(bytes_v8[i])
+        return bits
+
+    def lt(self, A, B) -> BitW:
+        _, lt = self.l.lt_reduce(self._arrange(A), self._arrange(B))
+        return lt
+
+    def leq(self, A, B) -> BitW:
+        _, lt = self.l.lt_reduce(self._arrange(B), self._arrange(A))
+        return self.l.lnot(lt)
+
+
+class EltMuxer:
+    """arr[ind] for wire ind, interpolated over the even points
+    {2i - (PP-1)} (bit_plucker.h:192-244)."""
+
+    def __init__(self, l: Logic, arr: Sequence, n: int, pp: int = None):
+        self.l = l
+        self.n = n
+        pp = pp if pp is not None else n
+        F = l.F
+        self.coeff = [l.konst(0) for _ in range(n)]
+        for i in range(n):
+            X = [bit_plucker_point(F, pp, k) for k in range(n)]
+            Y = [F.of_scalar(1 if k == i else 0) for k in range(n)]
+            basis_i = monomial_of_lagrange(F, Y, X)
+            for j in range(n):
+                self.coeff[j] = l.add(self.coeff[j],
+                                      l.bk.ax(basis_i[j], arr[i]))
+
+    def mux(self, ind):
+        L = self.l
+        P = Polynomial(L)
+        xi = P.powers_of_x(self.n, ind)
+        r = L.konst(0)
+        for i in range(self.n):
+            r = L.add(r, L.mul(self.coeff[i], xi[i]))
+        return r
+
+
 # ---------------------------------------------------------------------------
 # bit adder (bit_adder.h)
 # ---------------------------------------------------------------------------

@@ -459,6 +459,65 @@ class Logic:
         for x in a:
             self.assert_is_bit(x)
 
+    # -- GF(2^128) arithmetic simulated in-circuit --------------------------
+
+    def gf2_polynomial_multiplier(self, a, b):
+        """c(x) = a(x)*b(x) over GF(2), schoolbook (logic.h:471-483)."""
+        w = len(a)
+        c = []
+        for k in range(2 * w):
+            t = [self.land(a[i], b[k - i])
+                 for i in range(w) if 0 <= k - i < w]
+            c.append(self.parity(t))
+        return c
+
+    def gf2_polynomial_multiplier_karat(self, a, b):
+        """Karatsuba recursion for w in {64, 128} (logic.h:487-522)."""
+        w = len(a)
+        if w < 64:
+            return self.gf2_polynomial_multiplier(a, b)
+        h = w // 2
+        a01 = [self.lxor(a[i], a[i + h]) for i in range(h)]
+        b01 = [self.lxor(b[i], b[i + h]) for i in range(h)]
+        ab01 = self.gf2_polynomial_multiplier_karat(a01, b01)
+        a0b0 = self.gf2_polynomial_multiplier_karat(a[:h], b[:h])
+        a1b1 = self.gf2_polynomial_multiplier_karat(a[h:], b[h:])
+        ab01 = [self.lxor3(ab01[i], a0b0[i], a1b1[i]) for i in range(w)]
+        c = [None] * (2 * w)
+        for i in range(h):
+            c[i] = a0b0[i]
+            c[i + h] = self.lxor(a0b0[i + h], ab01[i])
+            c[i + w] = self.lxor(ab01[i + h], a1b1[i])
+            c[i + 3 * h] = a1b1[i + h]
+        return c
+
+    @staticmethod
+    def _gf2_128_taps():
+        """taps[j] = positions i < 255 with coefficient j set in x^i mod
+        (x^128 + x^7 + x^2 + x + 1).  Matches the generated table in
+        logic.h:539-670 (computed, not transcribed)."""
+        taps = [[] for _ in range(128)]
+        r = 1
+        for i in range(255):
+            for j in range(128):
+                if (r >> j) & 1:
+                    taps[j].append(i)
+            r <<= 1
+            if r >> 128:
+                r = (r & ((1 << 128) - 1)) ^ 0x87
+        return taps
+
+    def gf2_128_mul(self, a, b):
+        """Field multiply in GF(2^128) simulated over bits
+        (logic.h:524-...): polynomial product then sparse reduction."""
+        conv = self.gf2_polynomial_multiplier_karat(list(a), list(b))
+        taps = self._gf2_128_taps()
+        out = []
+        for j in range(128):
+            t = [conv[i] for i in taps[j] if i < len(conv)]
+            out.append(self.parity(t))
+        return out
+
     # -- I/O ----------------------------------------------------------------
 
     def eltw_input(self):
