@@ -142,14 +142,19 @@ class LigeroProver:
         # host scalars for the response computations
         self.tableau_host = F.from_limbs(np.asarray(tableau))
 
-        # --- Merkle commitment over ext columns ---
-        leaves = []
-        nonces = []
-        for j in range(p.block_ext):
-            nonce = rng.bytes(NONCE_LEN)
-            col = self.tableau_bytes[:, p.dblock + j, :].tobytes()
-            leaves.append(leaf_hash(col, nonce))
-            nonces.append(nonce)
+        # --- Merkle commitment over ext columns (device-batched SHA-256) ---
+        from ..merkle.sha256_jax import sha256_batch
+
+        nonces = [rng.bytes(NONCE_LEN) for _ in range(p.block_ext)]
+        # message per column j: nonce_j || column bytes (rows in order)
+        cols = np.ascontiguousarray(
+            self.tableau_bytes[:, p.dblock :, :].transpose(1, 0, 2)
+        ).reshape(p.block_ext, -1)
+        nonce_arr = np.frombuffer(b"".join(nonces), dtype=np.uint8).reshape(
+            p.block_ext, NONCE_LEN)
+        msgs = np.concatenate([nonce_arr, cols], axis=1)
+        digests = sha256_batch(msgs)
+        leaves = [digests[j].tobytes() for j in range(p.block_ext)]
         root = self.mc.commit_leaves(leaves, nonces)
         commitment = LigeroCommitment(root=root)
         write_commitment(commitment, ts)
