@@ -152,6 +152,84 @@ class BitPluckerEncoder:
         return r
 
 
+class Counter:
+    """Small-integer counters embedded in the field
+    (counter.h:29-190): additive group for odd characteristic,
+    multiplicative group g^n for GF(2^k).  Values are EltW wires."""
+
+    def __init__(self, l: Logic):
+        self.l = l
+        self.char2 = l.F.kCharacteristicTwo
+
+    def znz_indicator(self, c):
+        L = self.l
+        if self.char2:
+            return L.sub(c, L.konst(1))
+        return c
+
+    def as_counter(self, n):
+        L, F = self.l, self.l.F
+        if isinstance(n, BitW):
+            if self.char2:
+                return self.ite0(n, L.bk.konst(F.g))
+            return L.eval(n)
+        if isinstance(n, list):  # bitvec
+            if self.char2:
+                return L.mul_range(
+                    0, len(n),
+                    lambda i: L.mux_elt(n[i], L.bk.konst(F.counter_beta[i]),
+                                        L.bk.konst(F.of_scalar(1))))
+            return L.as_scalar(n)
+        # integer
+        if self.char2:
+            return L.bk.konst(F.as_counter(n))
+        return L.konst(n % F.p)
+
+    def mone(self):
+        L, F = self.l, self.l.F
+        if self.char2:
+            return L.bk.konst(F.invg)
+        return L.bk.konst(F.neg_i(F.of_scalar(1)))
+
+    def add(self, a, b):
+        L = self.l
+        return L.mul(a, b) if self.char2 else L.add(a, b)
+
+    def add_range(self, i0, i1, f):
+        if i1 <= i0:
+            return self.as_counter(0)
+        if i1 == i0 + 1:
+            return f(i0)
+        im = i0 + (i1 - i0) // 2
+        return self.add(self.add_range(i0, im, f), self.add_range(im, i1, f))
+
+    def ite0(self, a: BitW, b):
+        """a ? b : 0 (as a counter)."""
+        L = self.l
+        if self.char2:
+            return L.mux_elt(a, b, L.konst(1))
+        return L.mul(L.eval(a), b)
+
+    def mux(self, a: BitW, b, c):
+        L = self.l
+        if self.char2:
+            return L.mux_elt(a, b, c)
+        return self.add(c, self.ite0(a, L.sub(b, c)))
+
+    def assert0(self, a):
+        L = self.l
+        if self.char2:
+            L.assert_eq_elt(a, L.konst(1))
+        else:
+            L.assert0_elt(a)
+
+    def assert_eq(self, a, b):
+        self.l.assert_eq_elt(a, b)
+
+    def input(self):
+        return self.l.eltw_input()
+
+
 class UnaryPlucker:
     """One-hot decode of an interpolation-packed value
     (unary_plucker.h:29-77): pluck point NJ decodes to all zeroes."""
