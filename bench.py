@@ -24,7 +24,7 @@ from longfellow_zk_tpu.fields.fp_instances import (
     P128_OMEGA,
     P128_OMEGA_ORDER,
 )
-from longfellow_zk_tpu.transforms.ntt import NTT
+from longfellow_zk_tpu.transforms.matmul_ntt import MatmulNTT
 
 BASELINE_MS = 57.06  # reference BM_FFT_Fp128/1048576
 N = 1 << 20
@@ -32,7 +32,7 @@ N = 1 << 20
 
 def main():
     F = fp128()
-    ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
+    ntt = MatmulNTT(F, P128_OMEGA, P128_OMEGA_ORDER)
     rng = np.random.default_rng(0)
     # random residues; build limbs directly (uniform 16-bit limbs with a
     # top-limb clamp keeps values < p without host bigint conversion)
