@@ -10,12 +10,24 @@ is the speedup factor (reference_time / our_time).
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
 
 import jax
+
+# persistent compilation cache: first compile of the 2^20 matmul-NTT
+# graph takes minutes through the remote-compile relay; cache it.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 

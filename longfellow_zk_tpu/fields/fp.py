@@ -364,9 +364,10 @@ class PrimeField:
             c = (cur + lo[0]) >> np.uint32(16)
             return (T, c), None
 
-        (T, carry), _ = jax.lax.scan(
-            red_step, (T, jnp.zeros(shp, jnp.uint32)), jnp.arange(L)
-        )
+        # derive the zero carry from the data so its sharding "varying"
+        # type matches the loop-carried value under shard_map
+        zero_c = T[0] ^ T[0]
+        (T, carry), _ = jax.lax.scan(red_step, (T, zero_c), jnp.arange(L))
 
         # final carry propagation over T[L..2L]
         def carry_step(c, t):

@@ -143,6 +143,8 @@ def _matmul_ntt_block(F: PrimeField, xb: jax.Array, lo: jax.Array,
 class MatmulNTT:
     """fftb/fftf with transforms along the last axis of u32[8, ..., n]."""
 
+    nlead = 1  # planar limb arrays, like transforms.ntt.NTT over PrimeField
+
     def __init__(self, F: PrimeField, omega: int, omega_order: int,
                  radix: int = 128):
         assert F.L == 8, "matmul NTT currently supports 128-bit fields"

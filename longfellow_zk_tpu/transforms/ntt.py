@@ -159,15 +159,16 @@ class FFTConvolution:
     """
 
     def __init__(self, n: int, m: int, F, omega, omega_order: int,
-                 y: Sequence):
+                 y: Sequence, ntt_impl=None):
         self.F = F
         self.n = n
         self.m = m
         self.padding = _choose_padding(m)
-        self.ntt = NTT(F, omega, omega_order)
+        self._host_ntt = NTT(F, omega, omega_order)  # host root arithmetic
+        self.ntt = ntt_impl if ntt_impl is not None else self._host_ntt
         # host-side forward transform of padded y, scaled by 1/padding
         y_pad = list(y) + [_zero(F)] * (self.padding - len(y))
-        yhat = _host_fft(F, y_pad, self.ntt._root_of_order(self.padding, True))
+        yhat = _host_fft(F, y_pad, self._host_ntt._root_of_order(self.padding, True))
         inv_pad = F.inv_i(F.of_scalar(self.padding))
         yhat = [F.mul_i(v, inv_pad) for v in yhat]
         self._yhat_np = np.asarray(F.to_limbs(yhat))
@@ -271,9 +272,10 @@ def _order(F):
     return F.p
 
 
-def make_fft_convolution_factory(F, omega, omega_order: int):
+def make_fft_convolution_factory(F, omega, omega_order: int, ntt_impl=None):
     def factory(n, m, y):
-        return FFTConvolution(n, m, F, omega, omega_order, y)
+        return FFTConvolution(n, m, F, omega, omega_order, y,
+                              ntt_impl=ntt_impl)
 
     return factory
 
