@@ -331,6 +331,20 @@ class QuadCircuit:
                 self.nwires_not_needed += 1
 
 
+def dump_info(tag: str, qc: "QuadCircuit") -> str:
+    """Compiler stats line (reference circuit_dump.h:65: the
+    'd: 7 wires: 21099 ...' lines)."""
+    line = ("%s depth: %d wires: %s in: %d out:%d use:%s ovh:%s t:%s "
+            "cse:%d notn:%d" % (
+                tag, qc.depth, qc.nwires, qc.ninput, qc.noutput,
+                (qc.nwires - qc.nwires_overhead
+                 if qc.nwires is not None and qc.nwires_overhead is not None
+                 else "?"),
+                qc.nwires_overhead, qc.nquad_terms,
+                qc.nwires_cse_eliminated, len(qc.nodes)))
+    return line
+
+
 def _morton_key(h0: int, h1: int) -> int:
     """Interleaved (h0 even bits, h1 odd bits) Morton code
     (util/ceildiv.h morton namespace)."""
