@@ -117,3 +117,21 @@ def test_circuit_id_stability():
     assert len(cid) == 32
     # id must be deterministic
     assert cid == circuit_id(F, circ)
+
+
+def test_cached_sha_circuit_artifact():
+    """The shipped SHA-256 circuit artifact parses and matches its id."""
+    import gzip
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "sha256_1block_fp128.lfc1.gz")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("artifact not present")
+    F = fp128()
+    data = gzip.open(path, "rb").read()
+    circ = read_circuit(F, FP128_ID, data, enforce_circuit_id=True)
+    assert circ is not None
+    assert circ.nterms() == 267470
+    assert circ.ninputs == 1985
