@@ -79,6 +79,17 @@ class Transcript:
     def clone(self) -> "Transcript":
         return Transcript(b"", self.version, _sha=self._sha.copy())
 
+    # -- state migration (host <-> device transcript) ------------------------
+
+    def export_state(self) -> bytes:
+        """SHA-256 midstate blob (utils.crypto.SHA256_STATE_SIZE bytes).
+        Only valid between squeezes (the PRF is not exported)."""
+        return self._sha.export_state()
+
+    def import_state(self, blob: bytes) -> None:
+        self._prf = None
+        self._sha.import_state(blob)
+
     # -- typed writes -------------------------------------------------------
 
     def _tag(self, t: int):
@@ -99,7 +110,8 @@ class Transcript:
     def write0(self, n: int):
         self._tag(TAG_BSTR)
         self._length(n)
-        self._write_untyped(b"\x00" * n)
+        self._prf = None
+        self._sha.update0(n)
 
     def write_elt(self, e, F):
         self._tag(TAG_FIELD_ELEM)

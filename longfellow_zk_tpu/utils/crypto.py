@@ -13,31 +13,176 @@ Constants mirror reference lib/util/crypto.h:36-39.
 
 from __future__ import annotations
 
+import ctypes
 import hashlib
 import os
+import struct
+
+from ..native import get_lib, buf as _cbuf
 
 SHA256_DIGEST_SIZE = 32
 PRF_KEY_SIZE = 32
 PRF_INPUT_SIZE = 16
 PRF_OUTPUT_SIZE = 16
 
+# SHA-256 midstate blob: 8*u32 H (LE words) | u64 count | 64-byte buffer
+SHA256_STATE_SIZE = 104
 
-class SHA256:
-    """Incremental SHA-256 with copyable state (reference util/crypto.h:41)."""
+_H0 = (0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A,
+       0x510E527F, 0x9B05688C, 0x1F83D9AB, 0x5BE0CD19)
+
+_K256 = (
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2)
+
+
+def _rotr32(x, n):
+    return ((x >> n) | (x << (32 - n))) & 0xFFFFFFFF
+
+
+def _compress_py(h, block):
+    w = list(struct.unpack(">16I", block))
+    for i in range(16, 64):
+        s0 = _rotr32(w[i - 15], 7) ^ _rotr32(w[i - 15], 18) ^ (w[i - 15] >> 3)
+        s1 = _rotr32(w[i - 2], 17) ^ _rotr32(w[i - 2], 19) ^ (w[i - 2] >> 10)
+        w.append((w[i - 16] + s0 + w[i - 7] + s1) & 0xFFFFFFFF)
+    a, b, c, d, e, f, g, hh = h
+    for i in range(64):
+        S1 = _rotr32(e, 6) ^ _rotr32(e, 11) ^ _rotr32(e, 25)
+        ch = (e & f) ^ (~e & g & 0xFFFFFFFF)
+        t1 = (hh + S1 + ch + _K256[i] + w[i]) & 0xFFFFFFFF
+        S0 = _rotr32(a, 2) ^ _rotr32(a, 13) ^ _rotr32(a, 22)
+        maj = (a & b) ^ (a & c) ^ (b & c)
+        t2 = (S0 + maj) & 0xFFFFFFFF
+        hh, g, f = g, f, e
+        e = (d + t1) & 0xFFFFFFFF
+        d, c, b = c, b, a
+        a = (t1 + t2) & 0xFFFFFFFF
+    return tuple((x + y) & 0xFFFFFFFF for x, y in
+                 zip(h, (a, b, c, d, e, f, g, hh)))
+
+
+class _PySHA256:
+    """Pure-Python streaming SHA-256 with exportable midstate (fallback
+    when no C compiler is available)."""
 
     def __init__(self):
-        self._h = hashlib.sha256()
+        self.h = _H0
+        self.count = 0
+        self.buf = b""
 
     def update(self, data: bytes) -> None:
-        self._h.update(data)
+        self.count += len(data)
+        data = self.buf + data
+        off = 0
+        h = self.h
+        while off + 64 <= len(data):
+            h = _compress_py(h, data[off : off + 64])
+            off += 64
+        self.h = h
+        self.buf = data[off:]
 
     def digest(self) -> bytes:
-        return self._h.digest()
+        c = self.copy()
+        bits = c.count * 8
+        c.update(b"\x80" + b"\x00" * ((55 - c.count) % 64) +
+                 bits.to_bytes(8, "big"))
+        return b"".join(x.to_bytes(4, "big") for x in c.h)
+
+    def copy(self) -> "_PySHA256":
+        c = _PySHA256.__new__(_PySHA256)
+        c.h, c.count, c.buf = self.h, self.count, self.buf
+        return c
+
+    def export_state(self) -> bytes:
+        return (struct.pack("<8I", *self.h) +
+                struct.pack("<Q", self.count) +
+                self.buf + b"\x00" * (64 - len(self.buf)))
+
+    def import_state(self, blob: bytes) -> None:
+        assert len(blob) == SHA256_STATE_SIZE
+        self.h = struct.unpack("<8I", blob[:32])
+        self.count = struct.unpack("<Q", blob[32:40])[0]
+        self.buf = blob[40 : 40 + (self.count % 64)]
+
+
+class _CSHA256:
+    """Native streaming SHA-256 (ctypes over lfzk_native.c)."""
+
+    __slots__ = ("_ctx",)
+
+    def __init__(self, lib=None):
+        lib = lib or get_lib()
+        self._ctx = ctypes.create_string_buffer(lib.lfzk_sha256_ctx_size())
+        lib.lfzk_sha256_init(self._ctx)
+
+    def update(self, data: bytes) -> None:
+        get_lib().lfzk_sha256_update(self._ctx, _cbuf(data), len(data))
+
+    def update0(self, n: int) -> None:
+        get_lib().lfzk_sha256_update0(self._ctx, n)
+
+    def digest(self) -> bytes:
+        out = (ctypes.c_uint8 * 32)()
+        get_lib().lfzk_sha256_final(self._ctx, out)
+        return bytes(out)
+
+    def copy(self) -> "_CSHA256":
+        c = _CSHA256.__new__(_CSHA256)
+        c._ctx = ctypes.create_string_buffer(self._ctx.raw, len(self._ctx))
+        return c
+
+    def export_state(self) -> bytes:
+        out = (ctypes.c_uint8 * SHA256_STATE_SIZE)()
+        get_lib().lfzk_sha256_export(self._ctx, out)
+        return bytes(out)
+
+    def import_state(self, blob: bytes) -> None:
+        assert len(blob) == SHA256_STATE_SIZE
+        get_lib().lfzk_sha256_import(self._ctx, _cbuf(blob))
+
+
+class SHA256:
+    """Incremental SHA-256 with copyable + exportable state (reference
+    util/crypto.h:41).  The exportable midstate (H, count, buffer) is what
+    lets the Fiat-Shamir transcript migrate between the host control plane
+    and the on-device transcript mid-stream."""
+
+    def __init__(self):
+        self._impl = _CSHA256() if get_lib() is not None else _PySHA256()
+
+    def update(self, data: bytes) -> None:
+        self._impl.update(data)
+
+    def update0(self, n: int) -> None:
+        """Absorb n zero bytes."""
+        if isinstance(self._impl, _CSHA256):
+            self._impl.update0(n)
+        else:
+            self._impl.update(b"\x00" * n)
+
+    def digest(self) -> bytes:
+        return self._impl.digest()
 
     def copy(self) -> "SHA256":
         c = SHA256.__new__(SHA256)
-        c._h = self._h.copy()
+        c._impl = self._impl.copy()
         return c
+
+    def export_state(self) -> bytes:
+        return self._impl.export_state()
+
+    def import_state(self, blob: bytes) -> None:
+        self._impl.import_state(blob)
 
 
 def sha256(data: bytes) -> bytes:
@@ -156,12 +301,28 @@ class AES256:
         return bytes(s[r * 4 + c] for c in range(4) for r in range(4))
 
 
+class _CAES256:
+    """Native AES-256 block encrypt (ctypes over lfzk_native.c)."""
+
+    __slots__ = ("_ctx",)
+
+    def __init__(self, key: bytes):
+        lib = get_lib()
+        self._ctx = ctypes.create_string_buffer(lib.lfzk_aes256_ctx_size())
+        lib.lfzk_aes256_init(self._ctx, _cbuf(key))
+
+    def encrypt_block(self, block: bytes) -> bytes:
+        out = (ctypes.c_uint8 * 16)()
+        get_lib().lfzk_aes256_encrypt(self._ctx, _cbuf(block), out)
+        return bytes(out)
+
+
 class PRF:
     """AES-256-ECB pseudo-random function (reference util/crypto.h:74)."""
 
     def __init__(self, key: bytes):
         assert len(key) == PRF_KEY_SIZE
-        self._aes = AES256(key)
+        self._aes = _CAES256(key) if get_lib() is not None else AES256(key)
 
     def eval(self, block_in: bytes) -> bytes:
         assert len(block_in) == PRF_INPUT_SIZE
