@@ -40,3 +40,28 @@ def unrolled_mul() -> bool:
         return _core.trace_state_clean()  # eager -> unrolled
     except Exception:
         return False
+
+
+def mul_mode() -> str:
+    """'unrolled' | 'semi' | 'compact'.
+
+    - eager / TPU: fully unrolled per-limb form (fuses best, no tracing
+      concern for eager dispatch);
+    - under jit: 'semi' — vectorized columns + static-slice reduction
+      loop.  The compact lax.scan form traces ~10x slower per call site,
+      which dominates build time of the fused prover programs; keep it
+      only as an explicit opt-in (set_unrolled_mul(False)).
+    """
+    if _unrolled_mul is False:
+        return "compact"
+    if _unrolled_mul is True:
+        return "unrolled"
+    try:
+        from jax._src import core as _core
+
+        tracing = not _core.trace_state_clean()
+    except Exception:
+        tracing = True
+    if not tracing:
+        return "unrolled"
+    return "semi"

@@ -379,15 +379,68 @@ class PrimeField:
         top = T[2 * L] + c_fin
         return self._stack(self._cond_sub_p([res[i] for i in range(L)], top))
 
+    def _mont_mul_semi(self, a: Array, b: Array) -> Array:
+        """Semi-unrolled Montgomery multiply: vectorized column product +
+        an L-step Python reduction loop of whole-array ops.
+
+        No inner lax.scan (unlike _mont_mul_compact) and no per-limb-pair
+        unrolling (unlike _mont_mul_limbs): ~15*L flat HLO ops.  This is
+        the preferred form under jit — tracing cost is what dominates the
+        build time of the big fused prover programs, and scan tracing is
+        ~10x slower per call site."""
+        L = self.L
+        shp = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+
+        def bc(x):
+            tail = x.shape[1:]
+            x = x.reshape((L,) + (1,) * (len(shp) - len(tail)) + tail)
+            return jnp.broadcast_to(x, (L,) + shp)
+
+        a = bc(a)
+        b = bc(b)
+        P = a[:, None] * b[None, :]  # [L, L, ...]
+        PL = P & MASK16
+        PH = P >> np.uint32(16)
+        nb = len(shp)
+        zrow = jnp.zeros((1,) + shp, jnp.uint32)
+        T = jnp.zeros((2 * L + 1,) + shp, dtype=jnp.uint32)
+        for i in range(L):
+            row = jnp.concatenate([PL[i], zrow], axis=0) + \
+                jnp.concatenate([zrow, PH[i]], axis=0)  # [L+1, ...]
+            T = T.at[i : i + L + 1].add(row)
+        p_col = jnp.asarray(self.p_np).reshape((L,) + (1,) * nb)
+        n0inv = self.n0inv
+        c = jnp.zeros(shp, jnp.uint32)
+        for i in range(L):
+            cur = T[i] + c
+            m = ((cur & MASK16) * n0inv) & MASK16
+            mp = m[None] * p_col  # [L, ...]
+            lo = mp & MASK16
+            hi = mp >> np.uint32(16)
+            add_vec = jnp.concatenate([lo, zrow], axis=0) + \
+                jnp.concatenate([zrow, hi], axis=0)
+            T = T.at[i : i + L + 1].add(add_vec)
+            c = (cur + lo[0]) >> np.uint32(16)
+        res = []
+        for k in range(L, 2 * L):
+            cur = T[k] + c
+            res.append(cur & MASK16)
+            c = cur >> np.uint32(16)
+        top = T[2 * L] + c
+        return self._stack(self._cond_sub_p(res, top))
+
     def mul(self, a: Array, b: Array) -> Array:
         from .. import config
 
-        if config.unrolled_mul():
+        mode = config.mul_mode()
+        if mode == "unrolled":
             al, bl = self._unstack(a), self._unstack(b)
             shp = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
             al = [jnp.broadcast_to(x, shp) for x in al]
             bl = [jnp.broadcast_to(x, shp) for x in bl]
             return self._stack(self._mont_mul_limbs(al, bl))
+        if mode == "semi":
+            return self._mont_mul_semi(a, b)
         return self._mont_mul_compact(a, b)
 
     def sqr(self, a: Array) -> Array:

@@ -299,12 +299,15 @@ def dev_sample_elt(F, prf: dict) -> Tuple[jax.Array, dict]:
 
 
 def dev_sample_elts(F, prf: dict, n: int) -> Tuple[jax.Array, dict]:
-    """n consecutive draws from one PRF stream -> [L, n]."""
-    outs = []
-    for _ in range(n):
+    """n consecutive draws from one PRF stream -> [L, n] (lax.scan so the
+    traced graph stays one draw regardless of n)."""
+
+    def body(prf, _):
         x, prf = dev_sample_elt(F, prf)
-        outs.append(x)
-    return jnp.stack(outs, axis=-1), prf
+        return prf, x
+
+    prf, xs = jax.lax.scan(body, prf, None, length=n)
+    return jnp.moveaxis(xs, 0, -1), prf
 
 
 def fs_challenge_elt(F, fs: dict) -> Tuple[jax.Array, dict]:

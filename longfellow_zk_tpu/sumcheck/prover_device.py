@@ -1,0 +1,538 @@
+"""Single-launch device sumcheck prover.
+
+TPU-native successor of sumcheck/prover.py (semantic twin of reference
+lib/sumcheck/prover_layers.h:37-497): each circuit layer proves as ONE
+jitted device program — all copy rounds, wire rounds, and the Fiat-Shamir
+oracle itself (random_oracle/device_fs) run inside `lax.scan`s with fixed
+shapes, so a full prove is nl launches and a single device->host fetch.
+The previous design paid one host sync per sumcheck round (~27 ms through
+a remote-TPU relay; 210 rounds for a 1-block SHA circuit) — this one pays
+one fetch per proof.
+
+Fixed-shape trick: binding halves the live length of W/EQ each round, but
+arrays stay at their padded power-of-two size with the dead tail kept at
+zero — algebraically identical to the reference's zero-padding semantics
+(arrays/dense.h:77-85), and XLA-friendly (no dynamic shapes).
+
+Round-polynomial extraction avoids the reference's QW bin aggregation
+(prover_layers.h:357-402) entirely: with z_t = hv_t * W_o[ho_t],
+
+  a0 = sum_{t: h_t even} z_t * W_h[h_t]
+  a2 = sum_t  (-1)^{h_t+1} * z_t * (W_h[h_t|1] - W_h[h_t & ~1])
+
+which is three gathers + three multiplies + two lazy byte-column
+reductions over the term axis — no scatter/segment-sum in the round loop
+(TPU scatters serialize; gathers vectorize).
+
+Proof bytes are identical to the host prover's (tested)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..random_oracle import device_fs as dfs
+from .circuit import Circuit, LayerProof, Proof, ProofAux
+
+_I32 = jnp.int32
+
+
+def _pts_dev(F, n: int):
+    """Standard evaluation points 0..n-1 (field-specific: powers of the
+    subfield generator for GF2) as device constants [n, L]."""
+    return [jnp.asarray(F.to_limbs(F.poly_evaluation_point(k)))
+            for k in range(n)]
+
+
+def _newton_denoms_dev(F, n: int):
+    return {(k, i): jnp.asarray(F.to_limbs(F.newton_denominator(k, i)))
+            for k in range(1, n) for i in range(1, k + 1)}
+
+
+class _FieldDev:
+    """Per-field device constants used inside the layer programs."""
+
+    def __init__(self, F):
+        self.F = F
+        self.one = jnp.asarray(F.to_limbs(1))
+        self.pts3 = _pts_dev(F, 3)
+        self.pts4 = _pts_dev(F, 4)
+        self.nd3 = _newton_denoms_dev(F, 3)
+        self.nd4 = _newton_denoms_dev(F, 4)
+
+    def evals_of_coefs(self, coefs: List[jax.Array]) -> List[jax.Array]:
+        """Monomial coefficients -> evaluations at the standard points
+        (device twin of sumcheck/poly.py:evals_of_coefs)."""
+        F = self.F
+        n = len(coefs)
+        pts = self.pts3 if n == 3 else self.pts4
+        out = []
+        for k in range(n):
+            pk = F.poly_evaluation_point(k)
+            if pk == 0:  # standard point 0 (all fields)
+                out.append(coefs[0])
+                continue
+            if pk == 1:  # standard point 1 (all fields)
+                e = coefs[0]
+                for c in coefs[1:]:
+                    e = F.add(e, c)
+                out.append(e)
+                continue
+            e = coefs[-1]
+            for i in range(n - 2, -1, -1):
+                e = F.add(F.mul(e, pts[k]), coefs[i])
+            out.append(e)
+        return out
+
+    def eval_lagrange(self, evals: List[jax.Array], x: jax.Array) -> jax.Array:
+        """Newton interpolation at x (device twin of poly.eval_lagrange)."""
+        F = self.F
+        n = len(evals)
+        pts = self.pts3 if n == 3 else self.pts4
+        nd = self.nd3 if n == 3 else self.nd4
+        t = list(evals)
+        for i in range(1, n):
+            for k in range(n - 1, i - 1, -1):
+                t[k] = F.mul(F.sub(t[k], t[k - 1]), nd[(k, i)])
+        e = t[n - 1]
+        for i in range(n - 2, -1, -1):
+            e = F.add(F.mul(e, F.sub(x, pts[i])), t[i])
+        return e
+
+
+def _eq_dev(F, logn: int, n: int, q: jax.Array) -> jax.Array:
+    """EQ array [L.., n] from device challenges q [L, >=logn]
+    (device-challenge version of eqs.eq_array_device)."""
+    eq = jnp.asarray(F.to_limbs(1))[..., None]  # [L.., 1]
+    sizes = [n]
+    for _ in range(logn):
+        sizes.append((sizes[-1] + 1) // 2)
+    for l in range(logn - 1, -1, -1):
+        ql = q[..., l : l + 1]
+        hi = F.mul(eq, ql)
+        lo = F.sub(eq, hi)
+        st = jnp.stack([lo, hi], axis=-1)
+        eq = st.reshape(st.shape[:-2] + (st.shape[-2] * 2,))
+        eq = eq[..., : sizes[l]]
+    return eq
+
+
+def _raw_eq2_dev(F, logn: int, n: int, g0, g1, alpha) -> jax.Array:
+    e0 = _eq_dev(F, logn, n, g0)
+    e1 = _eq_dev(F, logn, n, g1)
+    return F.add(e0, F.mul(e1, alpha[..., None]))
+
+
+def _pad_pow2(x: jax.Array, n: int, axis: int) -> jax.Array:
+    axis = axis % x.ndim
+    if x.shape[axis] == n:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, n - x.shape[axis])
+    return jnp.pad(x, pad)
+
+
+def _bind_fixed(F, x: jax.Array, r: jax.Array, axis: int) -> jax.Array:
+    """Fixed-shape bind along `axis`: fold pairs, zero-fill the tail."""
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    shape = x.shape[:axis] + (n // 2, 2) + x.shape[axis + 1 :]
+    xr = x.reshape(shape)
+    lo = jnp.take(xr, 0, axis=axis + 1)
+    hi = jnp.take(xr, 1, axis=axis + 1)
+    rb = r.reshape(r.shape + (1,) * (lo.ndim - r.ndim))
+    bound = F.add(lo, F.mul(F.sub(hi, lo), rb))
+    return _pad_pow2(bound, n, axis)
+
+
+def _batch_axis(F, arr, axis: int) -> int:
+    nlead = 2 if type(F).__name__ == "Fp2" else 1
+    return (axis % arr.ndim) - nlead
+
+
+def _write_tagged_elts(F, fs: dict, elts: List[jax.Array]) -> dict:
+    """Absorb k individually-tagged field elements with ONE batched
+    serialization (a single from-Montgomery multiply) and one absorb."""
+    xs = jnp.stack(elts, axis=-1)  # [L, k]
+    body = dfs.dev_elt_bytes(F, xs)  # [k, kBytes]
+    k = len(elts)
+    tags = jnp.full((k, 1), dfs.TAG_FIELD_ELEM, jnp.uint8)
+    data = jnp.concatenate([tags, body], axis=1).reshape(-1)
+    return dfs.fs_absorb(fs, data)
+
+
+def _fetch_packed(fs: dict, outs: List[dict]):
+    """Fetch the per-layer outputs + transcript state in ONE device->host
+    transfer: everything is cast to uint32, concatenated on device, and
+    pulled as a single buffer (a D2H sync costs ~27 ms through the
+    remote-TPU relay, so per-leaf fetches are the enemy)."""
+    leaves, treedef = jax.tree_util.tree_flatten(dict(fs=fs, outs=outs))
+    flats = [jnp.reshape(x.astype(jnp.uint32), (-1,)) for x in leaves]
+    packed = np.asarray(jnp.concatenate(flats) if len(flats) > 1
+                        else flats[0])
+    rebuilt = []
+    off = 0
+    for x in leaves:
+        n = int(np.prod(x.shape)) if x.ndim else 1
+        chunk = packed[off : off + n].reshape(x.shape)
+        rebuilt.append(chunk.astype(np.asarray(jnp.zeros((), x.dtype)).dtype))
+        off += n
+    tree = jax.tree_util.tree_unflatten(treedef, rebuilt)
+    return tree["fs"], tree["outs"]
+
+
+class DeviceSumcheckProver:
+    """Drop-in replacement for SumcheckProver with device-resident rounds."""
+
+    def __init__(self, F):
+        self.F = F
+        self.fd = _FieldDev(F)
+        self._layer_jit = {}
+        self._eval_jit = {}
+        self._begin_jit = None
+
+    # ------------------------------------------------------------------
+    # circuit evaluation (same math as SumcheckProver.eval_quad, jitted)
+    # ------------------------------------------------------------------
+
+    def _eval_layer(self, quad_dev, W, nv: int):
+        F = self.F
+        wl = jnp.take(W, quad_dev["h1"], axis=W.ndim - 2)
+        wr = jnp.take(W, quad_dev["h0"], axis=W.ndim - 2)
+        prod = F.mul(wl, wr)
+        bm = quad_dev["bmask"]  # bool [T]
+        ok = jnp.all(jnp.where(bm[:, None], F.is_zero(prod), True))
+        terms = F.mul(prod, quad_dev["v"][..., None])
+        keep = ~bm[:, None]
+        terms = F.select(jnp.broadcast_to(keep, terms.shape[1:]), terms,
+                         jnp.zeros_like(terms))
+        V = F.lazy_segment_sum(terms, quad_dev["g"], nv)
+        return V, ok
+
+    def eval_circuit(self, circ: Circuit, W0):
+        """(inputs per layer, finalV) or (None, None) on assert failure.
+        One jitted launch per layer; ok flags checked in one fetch."""
+        nl = circ.nl
+        inputs = [None] * nl
+        inputs[nl - 1] = W0
+        W = W0
+        oks = []
+        finalV = None
+        for l in range(nl - 1, -1, -1):
+            nv = circ.layers[l - 1].nw if l > 0 else circ.nv
+            qd = self._quad_dev(circ.layers[l].quad)
+            key = ("eval", qd["h0"].shape[0], W.shape, nv)
+            if key not in self._eval_jit:
+                self._eval_jit[key] = jax.jit(self._eval_layer,
+                                              static_argnums=(2,))
+            V, ok = self._eval_jit[key](qd, W, nv)
+            oks.append(ok)
+            if l > 0:
+                inputs[l - 1] = V
+            else:
+                finalV = V
+            W = V
+        allok = np.asarray(jnp.all(jnp.stack(oks)))
+        if not bool(allok):
+            return None, None
+        return inputs, finalV
+
+    # ------------------------------------------------------------------
+
+    def _quad_dev(self, quad):
+        if getattr(quad, "_dev_cache", None) is None:
+            F = self.F
+            vals = [1 if x == 0 else x for x in quad.v]
+            quad._dev_cache = dict(
+                v=jnp.asarray(F.to_limbs(vals)),
+                bmask=jnp.asarray(quad.beta_mask()),
+                g=jnp.asarray(np.asarray(quad.g, dtype=np.int32)),
+                h0=jnp.asarray(np.asarray(quad.h0, dtype=np.int32)),
+                h1=jnp.asarray(np.asarray(quad.h1, dtype=np.int32)),
+            )
+        return quad._dev_cache
+
+    # ------------------------------------------------------------------
+    # layer program
+    # ------------------------------------------------------------------
+
+    def _copy_scan(self, fs, EQ, W, hv, h_dev, claim, cp_pad, logc: int):
+        """logc cubic copy rounds (prover_layers.h:415-496) as one scan.
+        EQ: [L.., C], W: [L.., nw, C], hv: [L.., T]."""
+        F, fd = self.F, self.fd
+        wr = jnp.take(W, h_dev[0], axis=W.ndim - 2)  # [L.., T, C]
+        wl = jnp.take(W, h_dev[1], axis=W.ndim - 2)
+
+        def body(carry, pad_r):
+            fs, EQ, W, wr, wl, claim = carry
+            eq0 = EQ[..., None, 0::2]
+            eq1 = EQ[..., None, 1::2]
+            wr0, wr1 = wr[..., 0::2], wr[..., 1::2]
+            wl0, wl1 = wl[..., 0::2], wl[..., 1::2]
+            d0 = F.mul(eq0, wr0)
+            d2 = F.mul(F.sub(eq1, eq0), F.sub(wr1, wr0))
+            d1 = F.sub(F.sub(F.mul(eq1, wr1), d0), d2)
+            c1m = F.sub(wl1, wl0)
+            l0 = F.mul(d0, wl0)
+            l2 = F.add(F.mul(d1, c1m), F.mul(d2, wl0))
+            l3 = F.mul(d2, c1m)
+            cs = []
+            for lk in (l0, l2, l3):
+                pt = F.lazy_sum(lk, axis=_batch_axis(F, lk, -1))
+                w = F.mul(pt, hv)
+                cs.append(F.lazy_sum(w, axis=_batch_axis(F, w, -1)))
+            c0, c2, c3 = cs
+            two_c0 = F.add(c0, c0)
+            c1 = F.sub(F.sub(F.sub(claim, two_c0), c2), c3)
+            raw = fd.evals_of_coefs([c0, c1, c2, c3])
+            # write (raw - pad) at indices 0,2,3; one fused absorb
+            fs = _write_tagged_elts(
+                F, fs, [F.sub(raw[k], pad_r[..., k]) for k in (0, 2, 3)])
+            r, _ = dfs.dev_sample_elt(F, dfs.fs_squeeze(fs))
+            claim = fd.eval_lagrange(raw, r)
+            EQ = _bind_fixed(F, EQ, r, axis=-1)
+            W2 = _bind_fixed(F, W, r, axis=-1)
+            wr2 = _bind_fixed(F, wr, r, axis=-1)
+            wl2 = _bind_fixed(F, wl, r, axis=-1)
+            return ((fs, EQ, W2, wr2, wl2, claim),
+                    (jnp.stack(raw, axis=-1), r))
+
+        (fs, EQ, W, wr, wl, claim), (cp_raw, q_ch) = jax.lax.scan(
+            body, (fs, EQ, W, wr, wl, claim), cp_pad)
+        return fs, EQ, W, claim, cp_raw, q_ch
+
+    def _wire_scan(self, fs, W0, W1, hv, h0, h1, eq0, claim, hp_pad,
+                   logw: int):
+        """logw wire-round pairs (both hands) as one scan.
+        W0/W1: [L, N] zero-padded; hv: [L, T]; h0/h1: int32 [T]."""
+        F, fd = self.F, self.fd
+        zeroT = jnp.zeros_like(hv)
+
+        def one_hand(fs, Wh, Wo, h, ho, hv, claim, pad_r):
+            z = F.mul(hv, jnp.take(Wo, ho, axis=Wo.ndim - 1))
+            hi_idx = h | 1
+            lo_idx = h & ~np.int32(1)
+            Whi = jnp.take(Wh, hi_idx, axis=Wh.ndim - 1)
+            Wlo = jnp.take(Wh, lo_idx, axis=Wh.ndim - 1)
+            odd = (h & 1) == 1
+            Wat = F.select(odd, Whi, Wlo)
+            t0 = F.mul(z, Wat)
+            a0 = F.lazy_sum(F.select(odd, zeroT, t0),
+                            axis=_batch_axis(F, t0, -1))
+            zd = F.mul(z, F.sub(Whi, Wlo))
+            zds = F.select(odd, zd, F.neg(zd))
+            a2 = F.lazy_sum(zds, axis=_batch_axis(F, zds, -1))
+            c0 = F.mul(eq0, a0)
+            c2 = F.mul(eq0, a2)
+            c1 = F.sub(F.sub(F.sub(claim, c0), c0), c2)
+            raw = fd.evals_of_coefs([c0, c1, c2])
+            fs = _write_tagged_elts(
+                F, fs, [F.sub(raw[k], pad_r[..., k]) for k in (0, 2)])
+            r, _ = dfs.dev_sample_elt(F, dfs.fs_squeeze(fs))
+            claim = fd.eval_lagrange(raw, r)
+            Wh = _bind_fixed(F, Wh, r, axis=-1)
+            one_minus = F.sub(self.fd.one, r)
+            hv = F.mul(hv, F.select(odd, r[..., None], one_minus[..., None]))
+            h = h >> 1
+            return fs, Wh, hv, h, claim, jnp.stack(raw, axis=-1), r
+
+        def body(carry, pad_rnd):
+            fs, W0, W1, hv, h0, h1, claim = carry
+            fs, W0, hv, h0, claim, raw0, r0 = one_hand(
+                fs, W0, W1, h0, h1, hv, claim, pad_rnd[..., 0, :])
+            fs, W1, hv, h1, claim, raw1, r1 = one_hand(
+                fs, W1, W0, h1, h0, hv, claim, pad_rnd[..., 1, :])
+            return ((fs, W0, W1, hv, h0, h1, claim),
+                    (jnp.stack([raw0, raw1], axis=-2),
+                     jnp.stack([r0, r1], axis=-1)))
+
+        (fs, W0, W1, hv, h0, h1, claim), (hp_raw, g_ch) = jax.lax.scan(
+            body, (fs, W0, W1, hv, h0, h1, claim), hp_pad)
+        return fs, W0, W1, hv, claim, hp_raw, g_ch
+
+    def _layer_fn(self, fs, prf_in, claims, bnd_q, bnd_g0, bnd_g1, qd, W,
+                  cp_pad, hp_pad, wc_pad,
+                  logc: int, nc: int, logv: int, logw: int,
+                  fresh_prf: bool):
+        """One full layer prove (prover_layers.h:185-271) on device.
+
+        claims: [L, 2]; bnd_q: [L, logc]; bnd_g0/1: [L, logv];
+        W: [L, nw, nc]; pads in evaluation basis.  `fresh_prf` is False
+        only for layer 0, whose begin_layer challenges continue the PRF
+        stream left over from begin_circuit (no intervening write).
+        Returns (fs, outputs...) with raw (pre-pad) polynomials."""
+        F, fd = self.F, self.fd
+        # begin_layer: alpha, beta from one squeeze phase
+        prf = dfs.fs_squeeze(fs) if fresh_prf else prf_in
+        alpha, prf = dfs.dev_sample_elt(F, prf)
+        beta, prf = dfs.dev_sample_elt(F, prf)
+
+        C = 1 << logc
+        EQ = _pad_pow2(_eq_dev(F, logc, nc, bnd_q), C, -1)
+        nv = 1 << logv
+        dot = _raw_eq2_dev(F, logv, nv, bnd_g0, bnd_g1, alpha)
+        vq = F.select(qd["bmask"],
+                      jnp.broadcast_to(beta[..., None], qd["v"].shape),
+                      qd["v"])
+        hv = F.mul(vq, jnp.take(dot, qd["g"], axis=dot.ndim - 1))
+
+        claim = F.add(claims[..., 0], F.mul(alpha, claims[..., 1]))
+        Wp = _pad_pow2(W, C, -1)
+
+        if logc > 0:
+            fs, EQ, Wp, claim, cp_raw, q_ch = self._copy_scan(
+                fs, EQ, Wp, hv, (qd["h0"], qd["h1"]), claim, cp_pad, logc)
+        else:
+            cp_raw = jnp.zeros((0, F.L, 4), jnp.uint32)
+            q_ch = jnp.zeros((0, F.L), jnp.uint32)
+
+        eq0 = EQ[..., 0]
+        N = 1 << logw
+        Wh = _pad_pow2(Wp[..., 0], N, -1)
+
+        fs, W0, W1, hv, claim, hp_raw, g_ch = self._wire_scan(
+            fs, Wh, Wh, hv, qd["h0"], qd["h1"], eq0, claim, hp_pad, logw)
+
+        wc0 = W0[..., 0]
+        wc1 = W1[..., 0]
+        bound_quad = F.lazy_sum(hv, axis=_batch_axis(F, hv, -1))
+        expected = F.mul(eq0, F.mul(bound_quad, F.mul(wc0, wc1)))
+        ok = F.eq(claim, expected)
+        tt = jnp.stack([F.sub(wc0, wc_pad[..., 0]),
+                        F.sub(wc1, wc_pad[..., 1])], axis=-1)
+        fs = dfs.fs_write_elts(F, fs, tt)
+        wc = jnp.stack([wc0, wc1], axis=-1)
+        return fs, wc, bound_quad, ok, cp_raw, q_ch, hp_raw, g_ch
+
+    # ------------------------------------------------------------------
+    # public API (mirrors SumcheckProver.prove)
+    # ------------------------------------------------------------------
+
+    def _begin_circuit_fn(self, fs):
+        from .circuit import KMAX_BINDINGS
+        F = self.F
+        prf = dfs.fs_squeeze(fs)
+        q, prf = dfs.dev_sample_elts(F, prf, KMAX_BINDINGS)
+        g, prf = dfs.dev_sample_elts(F, prf, KMAX_BINDINGS)
+        return fs, q, g, prf
+
+    def prove(self, circ: Circuit, inputs: List, ts,
+              pad: Optional[Proof] = None, with_aux: bool = False):
+        """ts: TranscriptSumcheck over a host Transcript.  Launches the
+        device programs, fetches once, assembles the host Proof, and
+        advances the host transcript to the post-sumcheck state."""
+        F = self.F
+        host_ts = ts.ts
+        fs = dfs.fs_init_from_host(host_ts)
+
+        if self._begin_jit is None:
+            self._begin_jit = jax.jit(self._begin_circuit_fn)
+        fs, q40, g40, prf = self._begin_jit(fs)
+
+        logc, nc = circ.logc, circ.nc
+        logv = circ.logv
+        bnd_q = q40[..., :logc] if logc > 0 else q40[..., :0]
+        bnd_g = [g40, g40]
+
+        claims = jnp.zeros((F.L, 2), jnp.uint32)
+
+        outs = []
+        for ly in range(circ.nl):
+            layer = circ.layers[ly]
+            qd = self._quad_dev(layer.quad)
+            logw = layer.logw
+            cp_pad, hp_pad, wc_pad = self._pads_dev(
+                pad.layers[ly] if pad else None, logc, logw)
+            W = inputs[ly]
+            fresh = ly > 0
+            key = ("layer", logc, nc, logv, logw, qd["h0"].shape[0],
+                   W.shape, fresh)
+            if key not in self._layer_jit:
+                self._layer_jit[key] = jax.jit(
+                    self._layer_fn, static_argnums=(11, 12, 13, 14, 15))
+            fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch = self._layer_jit[key](
+                fs, prf, claims, bnd_q, bnd_g[0][..., :logv],
+                bnd_g[1][..., :logv], qd, W, cp_pad, hp_pad, wc_pad,
+                logc, nc, logv, logw, fresh)
+            outs.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
+                             hp=hp_raw, g=g_ch))
+            claims = wc
+            # next layer bindings: this layer's wire challenges per hand
+            bnd_q = jnp.moveaxis(q_ch, 0, -1) if logc > 0 \
+                else q40[..., :0]
+            g_moved = jnp.moveaxis(g_ch, 0, -1)  # [L, 2, logw]
+            bnd_g = [g_moved[..., 0, :], g_moved[..., 1, :]]
+            logv = logw
+
+        # ---- single packed fetch (one D2H round trip) ----
+        fs_np, douts = _fetch_packed(fs, outs)
+
+        for d in douts:
+            assert bool(np.asarray(d["ok"]).all()), "sum != eq0*quad*wl*wr"
+
+        proof = Proof()
+        aux = ProofAux() if with_aux else None
+        for ly, d in enumerate(douts):
+            layer = circ.layers[ly]
+            pad_lp = pad.layers[ly] if pad else None
+            lp = LayerProof(cp=[], hp=[[], []], wc=[None, None])
+            for rnd in range(logc):
+                raw = [F.from_limbs(d["cp"][rnd][..., k]) for k in range(4)]
+                if pad_lp is not None:
+                    raw = [F.sub_i(x, y) for x, y in
+                           zip(raw, pad_lp.cp[rnd])]
+                lp.cp.append(raw)
+            for rnd in range(layer.logw):
+                for hand in range(2):
+                    raw = [F.from_limbs(d["hp"][rnd][..., hand, k])
+                           for k in range(3)]
+                    if pad_lp is not None:
+                        raw = [F.sub_i(x, y) for x, y in
+                               zip(raw, pad_lp.hp[hand][rnd])]
+                    lp.hp[hand].append(raw)
+            wc0 = F.from_limbs(d["wc"][..., 0])
+            wc1 = F.from_limbs(d["wc"][..., 1])
+            if pad_lp is not None:
+                lp.wc = [F.sub_i(wc0, pad_lp.wc[0]),
+                         F.sub_i(wc1, pad_lp.wc[1])]
+            else:
+                lp.wc = [wc0, wc1]
+            lp._bound_quad = F.from_limbs(d["bq"])
+            proof.layers.append(lp)
+            if with_aux:
+                aux.bound_quad.append(lp._bound_quad)
+
+        # advance the host transcript to the device post-state
+        dfs.fs_state_to_host(host_ts, fs_np)
+
+        # bindings for the caller (host scalars)
+        last = douts[-1]
+        lw = circ.layers[-1].logw
+        bindings = dict(
+            q=[F.from_limbs(last["q"][rnd]) for rnd in range(logc)],
+            g=[[F.from_limbs(last["g"][rnd][..., h]) for rnd in range(lw)]
+               for h in range(2)],
+            logv=lw)
+        return proof, aux, bindings
+
+    def _pads_dev(self, pad_lp, logc: int, logw: int):
+        """Pad polynomials (evaluation basis) as device arrays:
+        cp [logc, L, 4], hp [logw, L, 2, 3], wc [L, 2]."""
+        F = self.F
+        if pad_lp is None:
+            cp = np.zeros((logc, F.L, 4), np.uint32)
+            hp = np.zeros((logw, F.L, 2, 3), np.uint32)
+            wc = np.zeros((F.L, 2), np.uint32)
+            return jnp.asarray(cp), jnp.asarray(hp), jnp.asarray(wc)
+        cp = np.zeros((logc, F.L, 4), np.uint32)
+        for rnd in range(logc):
+            cp[rnd] = F.to_limbs(pad_lp.cp[rnd])  # [L, 4]
+        hp = np.zeros((logw, F.L, 2, 3), np.uint32)
+        for rnd in range(logw):
+            for hand in range(2):
+                hp[rnd, :, hand, :] = F.to_limbs(pad_lp.hp[hand][rnd])
+        wc = np.asarray(F.to_limbs(pad_lp.wc), np.uint32)
+        return jnp.asarray(cp), jnp.asarray(hp), jnp.asarray(wc)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from ..ligero.param import LigeroParam
 from ..ligero.prover import LigeroProver
 from ..sumcheck.circuit import Circuit, LayerProof, Proof
-from ..sumcheck.prover import SumcheckProver
+from ..sumcheck.prover_device import DeviceSumcheckProver
 from ..sumcheck.transcript_sumcheck import TranscriptSumcheck
 from .common import (
     HASH_OF_A,
@@ -43,7 +43,7 @@ class ZkProver:
         self.pad: Optional[Proof] = None
         self.witness: Optional[List] = None
         self.lp: Optional[LigeroProver] = None
-        self.sumcheck = SumcheckProver(F)
+        self.sumcheck = DeviceSumcheckProver(F)
 
     def commit(self, zkp: ZkProof, W_host: List, ts, rng) -> None:
         """(zk_prover.h:72-100).  W_host: all input wires (public first)."""
