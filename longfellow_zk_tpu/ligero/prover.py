@@ -7,10 +7,12 @@ same input width is encoded in ONE call over a [rows, n] batch (the
 reference encodes row-by-row), which is the natural shard/batch axis for
 the TPU mesh (SURVEY §2.15).
 
-For this stage of the build the row-combination responses (y_ldt/y_dot/
-y_quad) and the column hashing run on host over the pulled tableau; the
-device RS encode dominates asymptotically.  Device-side column hashing
-(sha256_jax) and row combos are the next optimization step.
+The prove responses (y_ldt/y_dot/y_quad, ligero_prover.h:283-350) run as
+ONE jitted device program over the resident tableau — batched row
+combinations + the Aext interpolation — with a single packed fetch; all
+Fiat-Shamir challenges for them come from one host squeeze phase (no
+writes interleave, ligero_transcript.h).  Column openings are a device
+gather.  Nothing pulls the tableau to host scalars.
 """
 
 from __future__ import annotations
@@ -47,8 +49,8 @@ class LigeroProver:
         self.F = F
         self.rs_factory = rs_factory
         self.mc = MerkleCommitment(p.block_ext)
-        self.tableau_np = None  # natural-form numpy limbs [L.., nrow, block_enc]
-        self.tableau_host = None  # host scalars [nrow][block_enc]
+        self.tableau_dev = None  # device limbs [L.., nrow, block_enc]
+        self._resp_jit = None
 
     # ------------------------------------------------------------------
 
@@ -139,8 +141,6 @@ class LigeroProver:
         self.tableau_dev = tableau
         nat = np.asarray(F.from_mont_device(tableau))
         self.tableau_bytes = F.natural_limbs_to_bytes_np(nat)
-        # host scalars for the response computations
-        self.tableau_host = F.from_limbs(np.asarray(tableau))
 
         # --- Merkle commitment over ext columns (device-batched SHA-256) ---
         from ..merkle.sha256_jax import sha256_batch
@@ -162,45 +162,88 @@ class LigeroProver:
 
     # ------------------------------------------------------------------
 
+    def _responses_fn(self, T, u_ldt, A_arr, u_quad):
+        """One device program for all three tests
+        (ligero_prover.h:283-350): y_ldt, y_dot (incl. batched Aext
+        RS-interpolation), y_quad, and the W-part-zero sanity flag."""
+        p, F = self.p, self.F
+        rax = T.ndim - 2  # row axis
+        nlead = T.ndim - 2
+
+        def row(i):
+            return jnp.take(T, i, axis=rax)
+
+        def rows(lo, hi):
+            return jax.lax.slice_in_dim(T, lo, hi, axis=rax)
+
+        wrows = rows(p.iw, p.iw + p.nwqrow)
+        # low-degree test: ildt + sum_i u_i * w_i over [0, block)
+        t0 = F.mul(u_ldt[..., :, None], wrows[..., : p.block])
+        y_ldt = F.add(row(p.ildt)[..., : p.block],
+                      F.lazy_sum(t0, axis=nlead - 1))
+        # dot test: idot + sum_i Aext_i o w_i over [0, dblock)
+        rs = self.rs_factory(p.block, p.dblock)
+        aext = rs.interpolate(A_arr)  # [L.., nwqrow, dblock]
+        t1 = F.mul(aext, wrows[..., : p.dblock])
+        y_dot = F.add(row(p.idot)[..., : p.dblock],
+                      F.lazy_sum(t1, axis=nlead - 1))
+        # quadratic test: iquad + sum_i u_i * (z_i - x_i o y_i)
+        nqt = p.nqtriples
+        xr = rows(p.iq, p.iq + nqt)[..., : p.dblock]
+        yr = rows(p.iq + nqt, p.iq + 2 * nqt)[..., : p.dblock]
+        zr = rows(p.iq + 2 * nqt, p.iq + 3 * nqt)[..., : p.dblock]
+        t2 = F.mul(u_quad[..., :, None], F.sub(zr, F.mul(xr, yr)))
+        y_quad = F.add(row(p.iquad)[..., : p.dblock],
+                       F.lazy_sum(t2, axis=nlead - 1))
+        okq = jnp.all(F.is_zero(y_quad[..., p.r : p.r + p.w]))
+        return y_ldt, y_dot, y_quad, okq
+
     def prove(self, ts, nl: int, llterm, hash_of_llterm: bytes, lqc
               ) -> LigeroProof:
         """(ligero_prover.h:84-146)."""
         p, F = self.p, self.F
-        T = self.tableau_host  # [nrow][block_enc] host scalars
         proof = LigeroProof()
 
         ts.write_bytes(hash_of_llterm)
 
-        # low-degree test
+        # All response challenges come from one squeeze phase (no writes
+        # between them, ligero_transcript.h): draw on host, compute on
+        # device, fetch once.
         u_ldt = gen_uldt(p, ts, F)
-        y = list(T[p.ildt][: p.block])
-        for i in range(p.nwqrow):
-            row = T[p.iw + i]
-            u = u_ldt[i]
-            y = [F.add_i(y[j], F.mul_i(u, row[j])) for j in range(p.block)]
-        proof.y_ldt = y
-
-        # linear (dot) test
         alphal = gen_alphal(nl, ts, F)
         alphaq = gen_alphaq(p, ts, F)
         A = inner_product_vector(F, p, nl, llterm, alphal, lqc, alphaq)
-        proof.y_dot = self._dot_proof(A)
-
-        # quadratic test
         u_quad = gen_uquad(p, ts, F)
-        yq = list(T[p.iquad][: p.dblock])
-        iqx, iqy, iqz = p.iq, p.iq + p.nqtriples, p.iq + 2 * p.nqtriples
-        for i in range(p.nqtriples):
-            u = u_quad[i]
-            xr, yr, zr = T[iqx + i], T[iqy + i], T[iqz + i]
-            for j in range(p.dblock):
-                t = F.sub_i(zr[j], F.mul_i(xr[j], yr[j]))
-                yq[j] = F.add_i(yq[j], F.mul_i(u, t))
-        # sanity: W part of yq is zero
-        for j in range(p.w):
-            assert yq[p.r + j] == F.of_scalar(0), "W part is nonzero"
-        proof.y_quad_0 = yq[: p.r]
-        proof.y_quad_2 = yq[p.block : p.dblock]
+
+        lead = (8,) if F.kCharacteristicTwo else \
+            ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
+        u_ldt_d = jnp.asarray(F.to_limbs(u_ldt))
+        aflat = [v for i in range(p.nwqrow)
+                 for v in layout_Aext(F, p, i, A)]
+        A_d = jnp.asarray(F.to_limbs(aflat)).reshape(
+            lead + (p.nwqrow, p.block))
+        u_quad_d = jnp.asarray(F.to_limbs(u_quad))
+
+        if self._resp_jit is None:
+            self._resp_jit = jax.jit(self._responses_fn)
+        y_ldt_d, y_dot_d, y_quad_d, okq = self._resp_jit(
+            self.tableau_dev, u_ldt_d, A_d, u_quad_d)
+        # single packed fetch
+        flat = jnp.concatenate([
+            y_ldt_d.reshape(-1), y_dot_d.reshape(-1), y_quad_d.reshape(-1),
+            okq.reshape(-1).astype(jnp.uint32)])
+        got = np.asarray(flat)
+        nl_, nd_ = y_ldt_d.size, y_dot_d.size
+        y_ldt = F.from_limbs(got[:nl_].reshape(y_ldt_d.shape))
+        y_dot = F.from_limbs(got[nl_ : nl_ + nd_].reshape(y_dot_d.shape))
+        yq = F.from_limbs(got[nl_ + nd_ : nl_ + nd_ + y_quad_d.size]
+                          .reshape(y_quad_d.shape))
+        assert got[-1] == 1, "W part is nonzero"
+
+        proof.y_ldt = list(y_ldt)
+        proof.y_dot = list(y_dot)
+        proof.y_quad_0 = list(yq[: p.r])
+        proof.y_quad_2 = list(yq[p.block : p.dblock])
 
         # P -> V responses
         ts.write_elts(proof.y_ldt, F)
@@ -208,32 +251,14 @@ class LigeroProver:
         ts.write_elts(proof.y_quad_0, F)
         ts.write_elts(proof.y_quad_2, F)
 
-        # column openings
+        # column openings: device gather + one fetch
         idx = gen_idx(p, ts, F)
-        proof.req = [
-            [T[i][p.dblock + j] for j in idx] for i in range(p.nrow)
-        ]
+        idx_d = jnp.asarray(np.asarray(idx, np.int32) + p.dblock)
+        cols = np.asarray(jnp.take(self.tableau_dev, idx_d,
+                                   axis=self.tableau_dev.ndim - 1))
+        colv = F.from_limbs(cols)  # [nrow, nreq] host scalars
+        proof.req = [list(colv[i]) for i in range(p.nrow)]
         path, nonces = self.mc.open(idx)
         proof.merkle_path = path
         proof.merkle_nonce = nonces
         return proof
-
-    def _dot_proof(self, A: List) -> List:
-        """y_dot = idot + sum_i Aext_i (x) W_i over dblock
-        (ligero_prover.h:293-309); Aext interpolation batched on device."""
-        p, F = self.p, self.F
-        rs = self.rs_factory(p.block, p.dblock)
-        lead = (8,) if F.kCharacteristicTwo else \
-            ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
-        rows = [layout_Aext(F, p, i, A) for i in range(p.nwqrow)]
-        flat = [v for row in rows for v in row]
-        arr = jnp.asarray(F.to_limbs(flat)).reshape(lead + (p.nwqrow, p.block))
-        aext = F.from_limbs(np.asarray(rs.interpolate(arr)))
-        T = self.tableau_host
-        y = list(T[p.idot][: p.dblock])
-        for i in range(p.nwqrow):
-            row = T[p.iw + i]
-            arow = aext[i]
-            for j in range(p.dblock):
-                y[j] = F.add_i(y[j], F.mul_i(arow[j], row[j]))
-        return y

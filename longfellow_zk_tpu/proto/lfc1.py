@@ -70,15 +70,25 @@ def read_circuit(F, field_id: int, data: bytes,
     (used e.g. by the docs/specs/testvectors.md circuit vector) when the
     current header fails to parse.
     """
-    c = _read_circuit(F, field_id, data, enforce_circuit_id, legacy=False)
+    c = _read_circuit(F, field_id, ReadBuffer(data), enforce_circuit_id,
+                      legacy=False, whole=True)
     if c is None:
-        c = _read_circuit(F, field_id, data, enforce_circuit_id, legacy=True)
+        c = _read_circuit(F, field_id, ReadBuffer(data), enforce_circuit_id,
+                          legacy=True, whole=True)
     return c
 
 
-def _read_circuit(F, field_id: int, data: bytes, enforce_circuit_id: bool,
-                  legacy: bool) -> Optional[Circuit]:
-    buf = ReadBuffer(data)
+def read_circuit_buf(F, field_id: int, buf: ReadBuffer,
+                     enforce_circuit_id: bool = False) -> Optional[Circuit]:
+    """Sequential read from a shared buffer (multiple circuits back to
+    back, as in the reference's compressed mdoc circuit files:
+    mdoc_zk.cc:439-462 reads sig then hash from one ReadBuffer)."""
+    return _read_circuit(F, field_id, buf, enforce_circuit_id,
+                         legacy=False, whole=False)
+
+
+def _read_circuit(F, field_id: int, buf: ReadBuffer, enforce_circuit_id: bool,
+                  legacy: bool, whole: bool) -> Optional[Circuit]:
     try:
         version = buf.u8()
         if version != 1:
@@ -116,34 +126,41 @@ def _read_circuit(F, field_id: int, data: bytes, enforce_circuit_id: bool,
             nq = _read_num(buf)
             if nq == 0 or nq > MAX_VALID_INDEX:
                 return None
-            g = np.zeros(nq, dtype=np.int64)
-            h0 = np.zeros(nq, dtype=np.int64)
-            h1 = np.zeros(nq, dtype=np.int64)
-            v: List = [None] * nq
-            prevg = prevh0 = prevh1 = 0
-            for i in range(nq):
-                gi = _read_index(buf, prevg)
-                if gi >= max_g:
-                    return None
-                hl = _read_index(buf, prevh0)
-                hr = _read_index(buf, prevh1)
-                if hl >= nw or hr >= nw:
-                    return None
-                vi = _read_num(buf)
-                if vi >= numconst:
-                    return None
-                g[i], h0[i], h1[i] = gi, hl, hr
-                v[i] = constants[vi]
-                prevg, prevh0, prevh1 = gi, hl, hr
+            # vectorized term block parse: terms are fixed 12-byte records
+            # (3 sign-bit delta-encoded indices + constant-table index)
+            raw = np.frombuffer(buf.bytes(12 * nq), dtype=np.uint8)
+            raw = raw.reshape(nq, 12)
+
+            def _num3(o):
+                v = raw[:, o].astype(np.uint32)
+                v |= raw[:, o + 1].astype(np.uint32) << 8
+                v |= raw[:, o + 2].astype(np.uint32) << 16
+                return v
+
+            def _undelta(d):
+                mag = (d >> 1).astype(np.int64)
+                signed = np.where(d & 1, -mag, mag)
+                return np.cumsum(signed)
+
+            g = _undelta(_num3(0))
+            h0 = _undelta(_num3(3))
+            h1 = _undelta(_num3(6))
+            kidx = _num3(9)
+            if (g.min() < 0 or g.max() >= max_g or h0.min() < 0
+                    or h0.max() >= nw or h1.min() < 0 or h1.max() >= nw
+                    or kidx.max() >= numconst):
+                return None
             circ.layers.append(Layer(nw=nw, logw=lw,
-                                     quad=Quad(g=g, h0=h0, h1=h1, v=v)))
+                                     quad=Quad(g=g, h0=h0, h1=h1,
+                                               kidx=kidx.astype(np.int64),
+                                               ktable=constants)))
             max_g = nw
         if legacy and buf.remaining() == 0:
             # legacy serializations (e.g. the spec test vector) carry no id
             circ.id = b"\x00" * ID_SIZE
         else:
             circ.id = buf.bytes(ID_SIZE)
-            if buf.remaining() != 0:
+            if whole and buf.remaining() != 0:
                 return None
     except ValueError:
         return None
@@ -229,9 +246,21 @@ def circuit_id(F, circ: Circuit) -> bytes:
         u8(layer.logw)
         u8(layer.quad.nterms)
         q = layer.quad
-        for i in range(q.nterms):
-            u8(int(q.g[i]))
-            u8(int(q.h0[i]))
-            u8(int(q.h1[i]))
-            sha.update(F.to_bytes(q.v[i]))
+        # vectorized: [u64 g | u64 h0 | u64 h1 | kBytes v] per term
+        nq = q.nterms
+        rec = 24 + F.kBytes
+        block = np.zeros((nq, rec), dtype=np.uint8)
+        idx = np.stack([np.asarray(q.g, np.uint64),
+                        np.asarray(q.h0, np.uint64),
+                        np.asarray(q.h1, np.uint64)], axis=1)
+        block[:, :24] = idx.astype("<u8").view(np.uint8).reshape(nq, 24)
+        if q.kidx is not None:
+            tbl = np.frombuffer(
+                b"".join(F.to_bytes(x) for x in q.ktable),
+                dtype=np.uint8).reshape(len(q.ktable), F.kBytes)
+            block[:, 24:] = tbl[q.kidx]
+        else:
+            vb = b"".join(F.to_bytes(x) for x in q.v)
+            block[:, 24:] = np.frombuffer(vb, np.uint8).reshape(nq, F.kBytes)
+        sha.update(block.tobytes())
     return sha.digest()

@@ -25,33 +25,65 @@ KMAX_OUTPUTS = 1 << 24
 KMAX_BINDINGS = 40  # max 2^40 gates/wires/copies per layer (circuit.h:78)
 
 
-@dataclass
 class Quad:
-    """Sparse quadratic form; one entry per term."""
+    """Sparse quadratic form; one entry per term.
 
-    g: np.ndarray  # int32 [T] output wire index
-    h0: np.ndarray  # int32 [T] right-hand input wire
-    h1: np.ndarray  # int32 [T] left-hand input wire
-    v: List  # [T] host field scalars; 0 == assert-zero (beta) marker
+    Two storage modes (mirroring the reference's quad representations,
+    lib/sumcheck/quad.h:31-55): an explicit per-term value list `v`, or
+    the memory-graded (kidx, ktable) pair — 32-bit indices into a
+    deduplicated constant table, which is how LFC1 stores terms and the
+    only viable layout at mdoc scale (millions of terms, dozens of
+    distinct constants)."""
 
-    _v_limbs: Optional[object] = None  # device cache
-    _beta_mask: Optional[np.ndarray] = None
+    def __init__(self, g, h0, h1, v: Optional[List] = None,
+                 kidx: Optional[np.ndarray] = None,
+                 ktable: Optional[List] = None):
+        self.g = g
+        self.h0 = h0
+        self.h1 = h1
+        self._v = v
+        self.kidx = kidx
+        self.ktable = ktable
+        assert (v is not None) or (kidx is not None and ktable is not None)
+        self._v_limbs = None
+        self._beta_mask = None
+
+    @property
+    def v(self) -> List:
+        if self._v is None:
+            tbl = self.ktable
+            self._v = [tbl[i] for i in self.kidx]
+        return self._v
 
     @property
     def nterms(self) -> int:
-        return len(self.v)
+        if self._v is not None:
+            return len(self._v)
+        return len(self.kidx)
 
     def beta_mask(self) -> np.ndarray:
         if self._beta_mask is None:
-            self._beta_mask = np.array([x == 0 for x in self.v], dtype=bool)
+            if self.kidx is not None:
+                zero = np.array([x == 0 for x in self.ktable], dtype=bool)
+                self._beta_mask = zero[self.kidx]
+            else:
+                self._beta_mask = np.array([x == 0 for x in self._v],
+                                           dtype=bool)
         return self._beta_mask
 
     def v_limbs(self, F):
         """Device constants [L.., T] with 1 substituted at beta markers
         (the actual beta scale is applied at bind time)."""
         if self._v_limbs is None:
-            vals = [1 if x == 0 else x for x in self.v]
-            self._v_limbs = jnp.asarray(F.to_limbs(vals))
+            if self.kidx is not None:
+                tbl = [1 if x == 0 else x for x in self.ktable]
+                limbs = jnp.asarray(F.to_limbs(tbl))  # [L.., K]
+                self._v_limbs = jnp.take(
+                    limbs, jnp.asarray(self.kidx.astype(np.int32)),
+                    axis=limbs.ndim - 1)
+            else:
+                vals = [1 if x == 0 else x for x in self._v]
+                self._v_limbs = jnp.asarray(F.to_limbs(vals))
         return self._v_limbs
 
 
