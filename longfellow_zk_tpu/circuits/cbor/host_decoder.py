@@ -76,9 +76,57 @@ class CborDoc:
                 return k, v
         return None
 
+    def lookup_unsigned(self, u: int) -> Optional[Tuple["CborDoc", "CborDoc"]]:
+        """Map lookup by unsigned key (host_decoder.h:255-270)."""
+        assert self.t == MAP
+        for i in range(self.n_items):
+            k = self.children[2 * i]
+            if k.t == UNSIGNED and k.u64 == u:
+                return k, self.children[2 * i + 1]
+        return None
+
+    def lookup_negative(self, n: int) -> Optional[Tuple["CborDoc", "CborDoc"]]:
+        """Map lookup by NEGATIVE(n) key, i.e. integer -1-n
+        (host_decoder.h:272-286)."""
+        assert self.t == MAP
+        for i in range(self.n_items):
+            k = self.children[2 * i]
+            if k.t == NEGATIVE and k.u64 == n:
+                return k, self.children[2 * i + 1]
+        return None
+
     def index(self, i: int) -> "CborDoc":
         assert self.t in (ARRAY, MAP)
         return self.children[i]
+
+    def position(self) -> int:
+        """Value payload position (host_decoder.h:288-308)."""
+        if self.t in (UNSIGNED, NEGATIVE, PRIMITIVE):
+            return self.header_pos
+        if self.t in (BYTES, TEXT):
+            return self.str_pos
+        if self.t == TAG:
+            return self.children[0].str_pos
+        raise AssertionError("position() on unknown type")
+
+    def length(self) -> int:
+        """Encoded value length in bytes (host_decoder.h:315-344)."""
+        if self.t in (UNSIGNED, NEGATIVE):
+            v = self.u64
+            if v < 24:
+                return 1
+            if v < 256:
+                return 2
+            if v < 65536:
+                return 3
+            return 5
+        if self.t in (BYTES, TEXT):
+            return self.str_len
+        if self.t == TAG:
+            return self.children[0].str_len
+        if self.t == PRIMITIVE:
+            return 1
+        raise AssertionError("length() on non-value type")
 
 
 def _read_count(data: bytes, pos: int, count0: int

@@ -165,6 +165,21 @@ class FlatSHA256Circuit:
                 mm[(7 - j) * 32 + k] = hj[k]
         L.vassert_eq(mm, target)
 
+    def find_len_bits(self, max_blocks: int, inb, nb):
+        """v64 of the padded message's bit-length field, selected from the
+        last 8 bytes of block nb (flatsha256_circuit.h:279-291).  Returns
+        the length as an LSB-first 64-bit vector."""
+        L = self.l
+        len_bits = [L.bit(0) for _ in range(64)]
+        for i in range(max_blocks):
+            isblk = L.veq(nb, i + 1)
+            ind = i * 64 + 63
+            for j in range(64):
+                len_bits[j] = L.lor_exclusive(
+                    len_bits[j], L.land(isblk, inb[ind - j // 8][j % 8]))
+        L.vassert_is_bit(len_bits)
+        return len_bits
+
     def assert_zero_padding(self, max_blocks: int, nb, inb):
         L = self.l
         for i in range(max_blocks):
@@ -231,17 +246,19 @@ def message_witness(message: bytes, max_blocks: int):
     padded = sha256_pad(message)
     nb = len(padded) // 64
     assert nb <= max_blocks
+    # Dummy blocks past nb keep chaining through h1 over zero data
+    # (flatsha256_witness.cc:155-164): the circuit asserts the transform
+    # equations for every block, real or padding.
+    padded_full = padded + b"\x00" * (64 * (max_blocks - nb))
     H = list(SHA256_INIT)
     bws = []
-    for b in range(nb):
-        bw = transform_block_witness(H, padded[64 * b : 64 * (b + 1)])
+    digest = None
+    for b in range(max_blocks):
+        bw = transform_block_witness(H, padded_full[64 * b : 64 * (b + 1)])
         bws.append(bw)
         H = bw.h1
-    digest = b"".join(x.to_bytes(4, "big") for x in H)
-    # pad to max blocks: zero blocks with dummy (repeat last) witnesses
-    padded_full = padded + b"\x00" * (64 * (max_blocks - nb))
-    while len(bws) < max_blocks:
-        bws.append(transform_block_witness([0] * 8, b"\x00" * 64))
+        if b == nb - 1:
+            digest = b"".join(x.to_bytes(4, "big") for x in H)
     return nb, padded_full, bws, digest
 
 

@@ -427,6 +427,17 @@ class Logic:
     def vxor3(self, x, y, z):
         return [self.lxor3(a, b, c) for a, b, c in zip(x, y, z)]
 
+    def slice_bits(self, a, i: int, j: int):
+        """bits [i, j) of a bitvec (logic.h slice<i,j>)."""
+        return list(a[i:j])
+
+    def veqmask(self, a, mask: int, val: int) -> BitW:
+        """a & mask == val over the selected bits (logic.h veqmask)."""
+        terms = [self.lnot(a[i]) if ((val >> i) & 1) == 0 else a[i]
+                 for i in range(len(a)) if (mask >> i) & 1]
+        return self._reduce(0, len(terms), lambda i: terms[i],
+                            lambda: self.bit(1), self.land)
+
     def veq(self, a, b):
         if isinstance(b, int):
             b = self.bits(len(a), b)

@@ -41,6 +41,12 @@ from .transcript import (
 )
 
 
+# Global jit cache: traces are expensive and provers are constructed per
+# proof; programs are pure functions of (field, geometry) so they are
+# shared across instances.
+_JIT_CACHE = {}
+
+
 class LigeroProver:
     def __init__(self, p: LigeroParam, F, rs_factory: Callable):
         """rs_factory(n, m) -> encoder with .interpolate(device [L.., rows, n])
@@ -50,7 +56,6 @@ class LigeroProver:
         self.rs_factory = rs_factory
         self.mc = MerkleCommitment(p.block_ext)
         self.tableau_dev = None  # device limbs [L.., nrow, block_enc]
-        self._resp_jit = None
 
     # ------------------------------------------------------------------
 
@@ -115,32 +120,22 @@ class LigeroProver:
         for j in range(p.w):
             iquad[p.r + j] = zero
 
-        # --- device RS encode, batched per width group ---
-        rs_block = self.rs_factory(p.block, p.block_enc)
-        rs_dblock = self.rs_factory(p.dblock, p.block_enc)
+        # --- device RS encode, batched per width group, one jitted
+        # program (encode + tableau assembly + natural-form conversion) ---
         lead = (8,) if F.kCharacteristicTwo else \
             ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
         nbr = len(block_rows)
         flatb = [v for row in block_rows for v in row]
         arr_b = jnp.asarray(F.to_limbs(flatb)).reshape(lead + (nbr, p.block))
-        enc_b = rs_block.interpolate(arr_b)  # [L.., nbr, block_enc]
         flatd = idot + iquad
         arr_d = jnp.asarray(F.to_limbs(flatd)).reshape(lead + (2, p.dblock))
-        enc_d = rs_dblock.interpolate(arr_d)
 
-        # assemble tableau in row order [ildt, idot, iquad, iw.., iq..]
-        ax = arr_b.ndim - 2
-        tableau = jnp.concatenate(
-            [
-                jax.lax.slice_in_dim(enc_b, 0, 1, axis=ax),
-                enc_d,
-                jax.lax.slice_in_dim(enc_b, 1, nbr, axis=ax),
-            ],
-            axis=ax,
-        )
+        key = ("commit", F.name, arr_b.shape, arr_d.shape, p.block_enc)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(self._commit_fn)
+        tableau, nat_dev = _JIT_CACHE[key](arr_b, arr_d)
         self.tableau_dev = tableau
-        nat = np.asarray(F.from_mont_device(tableau))
-        self.tableau_bytes = F.natural_limbs_to_bytes_np(nat)
+        self.tableau_bytes = F.natural_limbs_to_bytes_np(np.asarray(nat_dev))
 
         # --- Merkle commitment over ext columns (device-batched SHA-256) ---
         from ..merkle.sha256_jax import sha256_batch
@@ -161,6 +156,27 @@ class LigeroProver:
         return commitment
 
     # ------------------------------------------------------------------
+
+    def _commit_fn(self, arr_b, arr_d):
+        """RS-encode both width groups, assemble the tableau in row order
+        [ildt, idot, iquad, iw.., iq..], and convert to natural form for
+        the Merkle column hashing — as one device program."""
+        p, F = self.p, self.F
+        rs_block = self.rs_factory(p.block, p.block_enc)
+        rs_dblock = self.rs_factory(p.dblock, p.block_enc)
+        enc_b = rs_block.interpolate(arr_b)  # [L.., nbr, block_enc]
+        enc_d = rs_dblock.interpolate(arr_d)
+        ax = arr_b.ndim - 2
+        nbr = arr_b.shape[ax]
+        tableau = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(enc_b, 0, 1, axis=ax),
+                enc_d,
+                jax.lax.slice_in_dim(enc_b, 1, nbr, axis=ax),
+            ],
+            axis=ax,
+        )
+        return tableau, F.from_mont_device(tableau)
 
     def _responses_fn(self, T, u_ldt, A_arr, u_quad):
         """One device program for all three tests
@@ -224,9 +240,11 @@ class LigeroProver:
             lead + (p.nwqrow, p.block))
         u_quad_d = jnp.asarray(F.to_limbs(u_quad))
 
-        if self._resp_jit is None:
-            self._resp_jit = jax.jit(self._responses_fn)
-        y_ldt_d, y_dot_d, y_quad_d, okq = self._resp_jit(
+        key = ("resp", F.name, self.tableau_dev.shape, A_d.shape,
+               u_ldt_d.shape, u_quad_d.shape, p.block, p.dblock)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(self._responses_fn)
+        y_ldt_d, y_dot_d, y_quad_d, okq = _JIT_CACHE[key](
             self.tableau_dev, u_ldt_d, A_d, u_quad_d)
         # single packed fetch
         flat = jnp.concatenate([

@@ -187,12 +187,26 @@ def _fetch_packed(fs: dict, outs: List[dict]):
 class DeviceSumcheckProver:
     """Drop-in replacement for SumcheckProver with device-resident rounds."""
 
+    # traces are expensive and provers are constructed per proof; the
+    # programs are pure functions of (field, shapes), so share them
+    # process-wide.
+    _global_jit = {}
+
     def __init__(self, F):
         self.F = F
         self.fd = _FieldDev(F)
-        self._layer_jit = {}
-        self._eval_jit = {}
-        self._begin_jit = None
+        self._layer_jit = DeviceSumcheckProver._global_jit.setdefault(
+            (id(F), "layer"), {})
+        self._eval_jit = DeviceSumcheckProver._global_jit.setdefault(
+            (id(F), "eval"), {})
+
+    @property
+    def _begin_jit(self):
+        return DeviceSumcheckProver._global_jit.get((id(self.F), "begin"))
+
+    @_begin_jit.setter
+    def _begin_jit(self, fn):
+        DeviceSumcheckProver._global_jit[(id(self.F), "begin")] = fn
 
     # ------------------------------------------------------------------
     # circuit evaluation (same math as SumcheckProver.eval_quad, jitted)

@@ -80,20 +80,23 @@ def _write_com_proof(out: bytearray, pr: LigeroProof, p: LigeroParam,
 
 
 def read_zk_proof(data: bytes, circ: Circuit, param: LigeroParam, F,
-                  rate: int, nreq: int) -> Optional[ZkProof]:
+                  rate: int, nreq: int, return_used: bool = False):
     buf = ReadBuffer(data)
     try:
         root = buf.bytes(DIGEST_LEN)
         proof = _read_sc_proof(buf, circ, F)
         if proof is None:
-            return None
+            return (None, 0) if return_used else None
         com_proof = _read_com_proof(buf, param, F)
         if com_proof is None:
-            return None
+            return (None, 0) if return_used else None
     except ValueError:
-        return None
-    return ZkProof(rate=rate, nreq=nreq, com=LigeroCommitment(root=root),
-                   proof=proof, com_proof=com_proof)
+        return (None, 0) if return_used else None
+    zkp = ZkProof(rate=rate, nreq=nreq, com=LigeroCommitment(root=root),
+                  proof=proof, com_proof=com_proof)
+    if return_used:
+        return zkp, len(data) - buf.remaining()
+    return zkp
 
 
 def _read_sc_proof(buf: ReadBuffer, circ: Circuit, F) -> Optional[Proof]:

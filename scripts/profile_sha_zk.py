@@ -10,6 +10,9 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from longfellow_zk_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 import gzip
 
 import jax.numpy as jnp
@@ -62,7 +65,7 @@ def main():
 
     t = time.time()
     prover.commit(zkp, W, tp, SecureRandomEngine())
-    print(f"commit: {time.time()-t:.2f}s")
+    print(f"commit: {time.time()-t:.2f}s", flush=True)
 
     # instrument prove() phases
     from longfellow_zk_tpu.zk import common as zkc
