@@ -223,7 +223,25 @@ class DeviceSumcheckProver:
         keep = ~bm[:, None]
         terms = F.select(jnp.broadcast_to(keep, terms.shape[1:]), terms,
                          jnp.zeros_like(terms))
-        V = F.lazy_segment_sum(terms, quad_dev["g"], nv)
+        if F.kCharacteristicTwo:
+            # segment XOR via inclusive prefix scan + boundary gathers
+            # (terms are g-sorted in _quad_dev); avoids both scatters and
+            # the 128-bitplane segment_sum at mdoc scale (7.7M terms).
+            tax = terms.ndim - 2
+            px = jax.lax.associative_scan(jax.lax.bitwise_xor, terms,
+                                          axis=tax)
+            starts = quad_dev["seg_start"]  # int32 [nv]
+            ends = quad_dev["seg_end"]
+            pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=tax)
+            ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=tax)
+            nb = terms.ndim - 1 - tax
+            em = (ends > 0).reshape((-1,) + (1,) * nb)
+            sm = (starts > 0).reshape((-1,) + (1,) * nb)
+            pe = jnp.where(em, pe, 0)
+            ps = jnp.where(sm, ps, 0)
+            V = pe ^ ps
+        else:
+            V = F.lazy_segment_sum(terms, quad_dev["g"], nv)
         return V, ok
 
     def eval_circuit(self, circ: Circuit, W0):
@@ -237,7 +255,7 @@ class DeviceSumcheckProver:
         finalV = None
         for l in range(nl - 1, -1, -1):
             nv = circ.layers[l - 1].nw if l > 0 else circ.nv
-            qd = self._quad_dev(circ.layers[l].quad)
+            qd = self._quad_dev_eval(circ.layers[l].quad, nv)
             key = ("eval", qd["h0"].shape[0], W.shape, nv)
             if key not in self._eval_jit:
                 self._eval_jit[key] = jax.jit(self._eval_layer,
@@ -256,18 +274,53 @@ class DeviceSumcheckProver:
 
     # ------------------------------------------------------------------
 
-    def _quad_dev(self, quad):
+    def _quad_dev(self, quad, nv: int = None):
         if getattr(quad, "_dev_cache", None) is None:
             F = self.F
-            vals = [1 if x == 0 else x for x in quad.v]
+            g = np.asarray(quad.g, dtype=np.int32)
+            h0 = np.asarray(quad.h0, dtype=np.int32)
+            h1 = np.asarray(quad.h1, dtype=np.int32)
+            bmask = np.asarray(quad.beta_mask())
+            if quad.kidx is not None:
+                tbl = [1 if x == 0 else x for x in quad.ktable]
+                limbs = jnp.asarray(F.to_limbs(tbl))
+                kidx = quad.kidx.astype(np.int32)
+            else:
+                vals = [1 if x == 0 else x for x in quad.v]
+                limbs = jnp.asarray(F.to_limbs(vals))
+                kidx = None
+            if not np.all(g[:-1] <= g[1:]):
+                order = np.argsort(g, kind="stable")
+                g, h0, h1, bmask = g[order], h0[order], h1[order], bmask[order]
+                if kidx is not None:
+                    kidx = kidx[order]
+                else:
+                    limbs = jnp.take(limbs, jnp.asarray(order),
+                                     axis=limbs.ndim - 1)
+            v = (jnp.take(limbs, jnp.asarray(kidx), axis=limbs.ndim - 1)
+                 if kidx is not None else limbs)
             quad._dev_cache = dict(
-                v=jnp.asarray(F.to_limbs(vals)),
-                bmask=jnp.asarray(quad.beta_mask()),
-                g=jnp.asarray(np.asarray(quad.g, dtype=np.int32)),
-                h0=jnp.asarray(np.asarray(quad.h0, dtype=np.int32)),
-                h1=jnp.asarray(np.asarray(quad.h1, dtype=np.int32)),
+                v=v,
+                bmask=jnp.asarray(bmask),
+                g=jnp.asarray(g),
+                h0=jnp.asarray(h0),
+                h1=jnp.asarray(h1),
             )
+            quad._seg_np = g  # host copy for boundary computation
         return quad._dev_cache
+
+    def _quad_dev_eval(self, quad, nv: int):
+        """_quad_dev plus per-nv segment boundaries (char-2 eval path)."""
+        qd = dict(self._quad_dev(quad))
+        if self.F.kCharacteristicTwo:
+            g = quad._seg_np
+            qd["seg_start"] = jnp.asarray(
+                np.searchsorted(g, np.arange(nv), side="left")
+                .astype(np.int32))
+            qd["seg_end"] = jnp.asarray(
+                np.searchsorted(g, np.arange(nv), side="right")
+                .astype(np.int32))
+        return qd
 
     # ------------------------------------------------------------------
     # layer program

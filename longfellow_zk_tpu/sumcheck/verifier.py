@@ -31,7 +31,8 @@ class Claims:
 
 def bind_quad_host(F, quad, logv: int, g0, g1, alpha, beta, logw: int,
                    h0_ch, h1_ch):
-    """bind_gh_all (quad.h:188-210): fully bound quad scalar."""
+    """bind_gh_all (quad.h:188-210): fully bound quad scalar (host
+    reference implementation; O(terms) bigint ops)."""
     nv = 1 << logv
     eqg = raw_eq2_host(F, logv, nv, g0, g1, alpha)
     nw = 1 << logw
@@ -46,6 +47,53 @@ def bind_quad_host(F, quad, logv: int, g0, g1, alpha, beta, logw: int,
         vq = F.mul_i(vq, eqh1[int(quad.h1[t])])
         s = F.add_i(s, vq)
     return s
+
+
+_BIND_JIT = {}
+
+
+def bind_quad_device(F, quad, logv: int, g0, g1, alpha, beta, logw: int,
+                     h0_ch, h1_ch):
+    """Device bind_gh_all: EQ-array builds + three gathers + one
+    reduction per layer.  The verifier's only O(terms) step; at mdoc
+    scale (7.7M terms) the host loop is minutes, the device launch is
+    milliseconds."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .prover_device import DeviceSumcheckProver, _eq_dev, _raw_eq2_dev
+
+    prover = DeviceSumcheckProver(F)  # for _quad_dev caching
+    qd = prover._quad_dev(quad)
+    T = int(qd["g"].shape[0])
+
+    key = (id(F), T, logv, logw)
+    if key not in _BIND_JIT:
+        def fn(qd, g0a, g1a, alpha_a, beta_a, h0a, h1a):
+            dot = _raw_eq2_dev(F, logv, 1 << logv, g0a, g1a, alpha_a)
+            eqh0 = _eq_dev(F, logw, 1 << logw, h0a)
+            eqh1 = _eq_dev(F, logw, 1 << logw, h1a)
+            vq = F.select(qd["bmask"],
+                          jnp.broadcast_to(beta_a[..., None],
+                                           qd["v"].shape), qd["v"])
+            t = F.mul(vq, jnp.take(dot, qd["g"], axis=dot.ndim - 1))
+            t = F.mul(t, jnp.take(eqh0, qd["h0"], axis=eqh0.ndim - 1))
+            t = F.mul(t, jnp.take(eqh1, qd["h1"], axis=eqh1.ndim - 1))
+            nlead = 2 if type(F).__name__ == "Fp2" else 1
+            return F.lazy_sum(t, axis=t.ndim - 1 - nlead)
+
+        _BIND_JIT[key] = jax.jit(fn)
+
+    def elts(vals):
+        return jnp.asarray(F.to_limbs(list(vals)))
+
+    out = _BIND_JIT[key](
+        qd, elts(g0[:logv]), elts(g1[:logv]), jnp.asarray(F.to_limbs(alpha)),
+        jnp.asarray(F.to_limbs(beta)), elts(h0_ch), elts(h1_ch))
+    import numpy as _np
+
+    return F.from_limbs(_np.asarray(out))
 
 
 class SumcheckVerifier:
@@ -99,7 +147,9 @@ class SumcheckVerifier:
                     claim = eval_lagrange(F, tp, r)
 
             # final check: claim = EQ[Q,C] QUAD[G|R,L] W[R,C] W[L,C]
-            bound_quad = bind_quad_host(
+            bind = (bind_quad_device if layer.quad.nterms > 20000
+                    else bind_quad_host)
+            bound_quad = bind(
                 F, layer.quad, cl.logv, cl.g[0][: cl.logv],
                 cl.g[1][: cl.logv], alpha, beta, layer.logw,
                 lch.hb[0], lch.hb[1])

@@ -170,9 +170,13 @@ def verifier_constraints(circ: Circuit, pub: List, proof: Proof, aux, ts, pi: in
         if aux is not None:
             quad = aux.bound_quad[ly]
         else:
-            quad = bind_quad_host(F, layer.quad, cla_logv,
-                                  cla_g[0][:cla_logv], cla_g[1][:cla_logv],
-                                  alpha, beta, layer.logw, hb[0], hb[1])
+            from ..sumcheck.verifier import bind_quad_device
+
+            bind = (bind_quad_device if layer.quad.nterms > 20000
+                    else bind_quad_host)
+            quad = bind(F, layer.quad, cla_logv,
+                        cla_g[0][:cla_logv], cla_g[1][:cla_logv],
+                        alpha, beta, layer.logw, hb[0], hb[1])
         eqv = eq_eval_host(F, circ.logc, circ.nc, cla_q, [])
         eqq = F.mul_i(eqv, quad)
 
