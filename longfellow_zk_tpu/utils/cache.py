@@ -23,3 +23,16 @@ def enable_compilation_cache(path: str = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     except Exception:
         pass
+
+
+def force_cpu() -> None:
+    """Pin JAX to the CPU backend.  The axon sitecustomize registers the
+    TPU tunnel before user code runs, so JAX_PLATFORMS env alone is not
+    honored; the config update is required (two concurrent holders of
+    the single-tenant tunnel deadlock)."""
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass

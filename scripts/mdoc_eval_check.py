@@ -10,8 +10,10 @@ import time
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from longfellow_zk_tpu.utils.cache import enable_compilation_cache
+from longfellow_zk_tpu.utils.cache import enable_compilation_cache, force_cpu
 enable_compilation_cache()
+if os.environ.get('BENCH_TPU') != '1':
+    force_cpu()
 
 import jax.numpy as jnp
 import numpy as np
