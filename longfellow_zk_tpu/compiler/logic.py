@@ -68,12 +68,26 @@ class CompilerBackend:
 
 class EvaluationBackend:
     """Evaluates DSL ops directly on field scalars
-    (evaluation_backend.h:22-91).  V = host field scalar."""
+    (evaluation_backend.h:22-91).  V = host field scalar.
+
+    `feed(values)` queues wire values so circuits written against
+    input_wire()/vinput() run unmodified under evaluation — the
+    wire-free witness-satisfaction check used by circuit tests."""
 
     def __init__(self, F, panic_on_assertion_failure: bool = True):
         self.F = F
         self.panic = panic_on_assertion_failure
         self.assertion_failed = False
+        self._inputs = []
+        self._next = 0
+
+    def feed(self, values) -> None:
+        self._inputs.extend(values)
+
+    def input_wire(self):
+        v = self._inputs[self._next]
+        self._next += 1
+        return v
 
     def take_assertion_failed(self) -> bool:
         b = self.assertion_failed

@@ -41,10 +41,35 @@ def _rotr(x, n):
 def _compress(state, block):
     """state: [8, n]; block: [16, n] big-endian words -> new state.
 
-    Rounds and message schedule run as lax.scan (small loop bodies): the
-    XLA CPU backend mis-executes (hangs) fully unrolled 64-round chains,
-    and the scan form also keeps traced graphs small.
+    On TPU the 64 rounds and 48 schedule steps are fully unrolled
+    (straight-line vector ops — the Fiat-Shamir transcript sits inside
+    the prover's round scans, and sequential tiny scan iterations
+    dominate wall clock otherwise).  On the XLA CPU backend keep the
+    lax.scan form: CPU mis-executes (hangs) fully unrolled 64-round
+    chains, and scan keeps the traced graphs small for tests.
     """
+    unrolled = jax.default_backend() != "cpu"
+    if unrolled:
+        w = [block[i] for i in range(16)]
+        for i in range(16, 64):
+            s0 = _rotr(w[i - 15], 7) ^ _rotr(w[i - 15], 18) ^ \
+                (w[i - 15] >> np.uint32(3))
+            s1 = _rotr(w[i - 2], 17) ^ _rotr(w[i - 2], 19) ^ \
+                (w[i - 2] >> np.uint32(10))
+            w.append(w[i - 16] + s0 + w[i - 7] + s1)
+        a, b, c, d = state[0], state[1], state[2], state[3]
+        e, f, g, h = state[4], state[5], state[6], state[7]
+        for i in range(64):
+            S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
+            ch = (e & f) ^ (~e & g)
+            t1 = h + S1 + ch + np.uint32(_K[i]) + w[i]
+            S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
+            maj = (a & b) ^ (a & c) ^ (b & c)
+            t2 = S0 + maj
+            h, g, f, e = g, f, e, d + t1
+            d, c, b, a = c, b, a, t1 + t2
+        return state + jnp.stack([a, b, c, d, e, f, g, h])
+
     # message schedule: sliding 16-word window
     def sched_step(win, _):
         w15 = win[1]
