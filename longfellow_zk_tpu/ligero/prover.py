@@ -212,7 +212,11 @@ class LigeroProver:
         y_quad = F.add(row(p.iquad)[..., : p.dblock],
                        F.lazy_sum(t2, axis=nlead - 1))
         okq = jnp.all(F.is_zero(y_quad[..., p.r : p.r + p.w]))
-        return y_ldt, y_dot, y_quad, okq
+        # one flat packed output (a single D2H transfer; eager casts and
+        # per-array fetches cost a relay round trip each)
+        return jnp.concatenate([
+            y_ldt.reshape(-1), y_dot.reshape(-1), y_quad.reshape(-1),
+            okq.reshape(-1).astype(jnp.uint32)])
 
     def prove(self, ts, nl: int, llterm, hash_of_llterm: bytes, lqc
               ) -> LigeroProof:
@@ -244,18 +248,17 @@ class LigeroProver:
                u_ldt_d.shape, u_quad_d.shape, p.block, p.dblock)
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = jax.jit(self._responses_fn)
-        y_ldt_d, y_dot_d, y_quad_d, okq = _JIT_CACHE[key](
-            self.tableau_dev, u_ldt_d, A_d, u_quad_d)
-        # single packed fetch
-        flat = jnp.concatenate([
-            y_ldt_d.reshape(-1), y_dot_d.reshape(-1), y_quad_d.reshape(-1),
-            okq.reshape(-1).astype(jnp.uint32)])
+        flat = _JIT_CACHE[key](self.tableau_dev, u_ldt_d, A_d, u_quad_d)
         got = np.asarray(flat)
-        nl_, nd_ = y_ldt_d.size, y_dot_d.size
-        y_ldt = F.from_limbs(got[:nl_].reshape(y_ldt_d.shape))
-        y_dot = F.from_limbs(got[nl_ : nl_ + nd_].reshape(y_dot_d.shape))
-        yq = F.from_limbs(got[nl_ + nd_ : nl_ + nd_ + y_quad_d.size]
-                          .reshape(y_quad_d.shape))
+        sh_ldt = lead + (p.block,)
+        sh_dot = lead + (p.dblock,)
+        sh_quad = lead + (p.dblock,)
+        nl_ = int(np.prod(sh_ldt))
+        nd_ = int(np.prod(sh_dot))
+        nq_ = int(np.prod(sh_quad))
+        y_ldt = F.from_limbs(got[:nl_].reshape(sh_ldt))
+        y_dot = F.from_limbs(got[nl_ : nl_ + nd_].reshape(sh_dot))
+        yq = F.from_limbs(got[nl_ + nd_ : nl_ + nd_ + nq_].reshape(sh_quad))
         assert got[-1] == 1, "W part is nonzero"
 
         proof.y_ldt = list(y_ldt)
@@ -272,8 +275,12 @@ class LigeroProver:
         # column openings: device gather + one fetch
         idx = gen_idx(p, ts, F)
         idx_d = jnp.asarray(np.asarray(idx, np.int32) + p.dblock)
-        cols = np.asarray(jnp.take(self.tableau_dev, idx_d,
-                                   axis=self.tableau_dev.ndim - 1))
+        gkey = ("cols", F.name, self.tableau_dev.shape, len(idx))
+        if gkey not in _JIT_CACHE:
+            ax = self.tableau_dev.ndim - 1
+            _JIT_CACHE[gkey] = jax.jit(
+                lambda t, i: jnp.take(t, i, axis=ax))
+        cols = np.asarray(_JIT_CACHE[gkey](self.tableau_dev, idx_d))
         colv = F.from_limbs(cols)  # [nrow, nreq] host scalars
         proof.req = [list(colv[i]) for i in range(p.nrow)]
         path, nonces = self.mc.open(idx)

@@ -41,14 +41,16 @@ def _rotr(x, n):
 def _compress(state, block):
     """state: [8, n]; block: [16, n] big-endian words -> new state.
 
-    On TPU the 64 rounds and 48 schedule steps are fully unrolled
-    (straight-line vector ops — the Fiat-Shamir transcript sits inside
-    the prover's round scans, and sequential tiny scan iterations
-    dominate wall clock otherwise).  On the XLA CPU backend keep the
-    lax.scan form: CPU mis-executes (hangs) fully unrolled 64-round
-    chains, and scan keeps the traced graphs small for tests.
+    The rounds/schedule run as lax.scan by default (small graphs; the
+    XLA CPU backend mis-executes fully unrolled 64-round chains).  Full
+    unrolling is available behind LFZK_UNROLL_SHA=1 — measured on the
+    v5e it does NOT improve the prover's steady state (the scan is not
+    the bottleneck) while inflating compile time ~8x, so it stays off.
     """
-    unrolled = jax.default_backend() != "cpu"
+    import os
+
+    unrolled = (os.environ.get("LFZK_UNROLL_SHA") == "1"
+                and jax.default_backend() != "cpu")
     if unrolled:
         w = [block[i] for i in range(16)]
         for i in range(16, 64):

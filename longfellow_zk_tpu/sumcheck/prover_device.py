@@ -164,15 +164,25 @@ def _write_tagged_elts(F, fs: dict, elts: List[jax.Array]) -> dict:
     return dfs.fs_absorb(fs, data)
 
 
+_PACK_JIT = {}
+
+
+def _pack_fn(leaves):
+    return jnp.concatenate(
+        [jnp.reshape(x.astype(jnp.uint32), (-1,)) for x in leaves])
+
+
 def _fetch_packed(fs: dict, outs: List[dict]):
     """Fetch the per-layer outputs + transcript state in ONE device->host
-    transfer: everything is cast to uint32, concatenated on device, and
-    pulled as a single buffer (a D2H sync costs ~27 ms through the
-    remote-TPU relay, so per-leaf fetches are the enemy)."""
+    transfer: everything is cast to uint32 and concatenated INSIDE one
+    jitted program, then pulled as a single buffer.  Both per-leaf
+    fetches and per-leaf eager cast ops pay ~30 ms each through the
+    remote-TPU relay, so the entire pack must be a single launch."""
     leaves, treedef = jax.tree_util.tree_flatten(dict(fs=fs, outs=outs))
-    flats = [jnp.reshape(x.astype(jnp.uint32), (-1,)) for x in leaves]
-    packed = np.asarray(jnp.concatenate(flats) if len(flats) > 1
-                        else flats[0])
+    key = tuple((x.shape, str(x.dtype)) for x in leaves)
+    if key not in _PACK_JIT:
+        _PACK_JIT[key] = jax.jit(_pack_fn)
+    packed = np.asarray(_PACK_JIT[key](leaves))
     rebuilt = []
     off = 0
     for x in leaves:
@@ -267,8 +277,11 @@ class DeviceSumcheckProver:
             else:
                 finalV = V
             W = V
-        allok = np.asarray(jnp.all(jnp.stack(oks)))
-        if not bool(allok):
+        key = ("evalok", nl)
+        if key not in self._eval_jit:
+            self._eval_jit[key] = jax.jit(
+                lambda xs: jnp.all(jnp.stack(xs)))
+        if not bool(np.asarray(self._eval_jit[key](oks))):
             return None, None
         return inputs, finalV
 
@@ -426,12 +439,17 @@ class DeviceSumcheckProver:
                   fresh_prf: bool):
         """One full layer prove (prover_layers.h:185-271) on device.
 
-        claims: [L, 2]; bnd_q: [L, logc]; bnd_g0/1: [L, logv];
-        W: [L, nw, nc]; pads in evaluation basis.  `fresh_prf` is False
-        only for layer 0, whose begin_layer challenges continue the PRF
-        stream left over from begin_circuit (no intervening write).
+        claims: [L, 2]; bnd_q: [L, >=logc]; bnd_g0/1: [L, >=logv]
+        (sliced to logc/logv inside the trace — eager slices cost a
+        relay round trip each); W: [L, nw, nc]; pads in evaluation
+        basis.  `fresh_prf` is False only for layer 0, whose begin_layer
+        challenges continue the PRF stream left over from begin_circuit
+        (no intervening write).
         Returns (fs, outputs...) with raw (pre-pad) polynomials."""
         F, fd = self.F, self.fd
+        bnd_q = bnd_q[..., :logc]
+        bnd_g0 = bnd_g0[..., :logv]
+        bnd_g1 = bnd_g1[..., :logv]
         # begin_layer: alpha, beta from one squeeze phase
         prf = dfs.fs_squeeze(fs) if fresh_prf else prf_in
         alpha, prf = dfs.dev_sample_elt(F, prf)
@@ -472,7 +490,15 @@ class DeviceSumcheckProver:
                         F.sub(wc1, wc_pad[..., 1])], axis=-1)
         fs = dfs.fs_write_elts(F, fs, tt)
         wc = jnp.stack([wc0, wc1], axis=-1)
-        return fs, wc, bound_quad, ok, cp_raw, q_ch, hp_raw, g_ch
+        # next-layer bindings, already in planar [L, n] form (avoids
+        # eager moveaxis/slices on the host side)
+        q_next = jnp.moveaxis(q_ch, 0, -1) if logc > 0 else \
+            jnp.zeros((F.L, 0), jnp.uint32)
+        g_moved = jnp.moveaxis(g_ch, 0, -1)  # [L, 2, logw]
+        g0_next = g_moved[..., 0, :]
+        g1_next = g_moved[..., 1, :]
+        return (fs, wc, bound_quad, ok, cp_raw, q_ch, hp_raw, g_ch,
+                q_next, g0_next, g1_next)
 
     # ------------------------------------------------------------------
     # public API (mirrors SumcheckProver.prove)
@@ -501,7 +527,7 @@ class DeviceSumcheckProver:
 
         logc, nc = circ.logc, circ.nc
         logv = circ.logv
-        bnd_q = q40[..., :logc] if logc > 0 else q40[..., :0]
+        bnd_q = q40
         bnd_g = [g40, g40]
 
         claims = jnp.zeros((F.L, 2), jnp.uint32)
@@ -516,22 +542,20 @@ class DeviceSumcheckProver:
             W = inputs[ly]
             fresh = ly > 0
             key = ("layer", logc, nc, logv, logw, qd["h0"].shape[0],
-                   W.shape, fresh)
+                   W.shape, fresh, bnd_q.shape, bnd_g[0].shape)
             if key not in self._layer_jit:
                 self._layer_jit[key] = jax.jit(
                     self._layer_fn, static_argnums=(11, 12, 13, 14, 15))
-            fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch = self._layer_jit[key](
-                fs, prf, claims, bnd_q, bnd_g[0][..., :logv],
-                bnd_g[1][..., :logv], qd, W, cp_pad, hp_pad, wc_pad,
-                logc, nc, logv, logw, fresh)
+            (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
+             g1n) = self._layer_jit[key](
+                fs, prf, claims, bnd_q, bnd_g[0], bnd_g[1], qd, W,
+                cp_pad, hp_pad, wc_pad, logc, nc, logv, logw, fresh)
             outs.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
                              hp=hp_raw, g=g_ch))
             claims = wc
             # next layer bindings: this layer's wire challenges per hand
-            bnd_q = jnp.moveaxis(q_ch, 0, -1) if logc > 0 \
-                else q40[..., :0]
-            g_moved = jnp.moveaxis(g_ch, 0, -1)  # [L, 2, logw]
-            bnd_g = [g_moved[..., 0, :], g_moved[..., 1, :]]
+            bnd_q = q_next if logc > 0 else bnd_q
+            bnd_g = [g0n, g1n]
             logv = logw
 
         # ---- single packed fetch (one D2H round trip) ----
