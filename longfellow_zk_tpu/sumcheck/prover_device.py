@@ -172,6 +172,42 @@ def _pack_fn(leaves):
         [jnp.reshape(x.astype(jnp.uint32), (-1,)) for x in leaves])
 
 
+def _out_template(F, metas):
+    """Host template (shapes/dtypes) matching _prove_all_fn's packed
+    output tree — deterministic from the circuit geometry."""
+    (logc, _nc), layer_meta = metas
+    outs = []
+    for (_logv, logw) in layer_meta:
+        outs.append(dict(
+            wc=((F.L, 2), np.uint32),
+            bq=((F.L,), np.uint32),
+            ok=((), np.bool_),
+            cp=((logc, F.L, 4), np.uint32),
+            q=((logc, F.L), np.uint32),
+            hp=((logw, F.L, 2, 3), np.uint32),
+            g=((logw, F.L, 2), np.uint32),
+        ))
+    return dict(fs=dict(h=((8,), np.uint32), buf=((64,), np.uint8),
+                        cnt=((), np.uint32)),
+                outs=outs)
+
+
+def _unpack(packed: np.ndarray, template):
+    """Inverse of _pack_fn against a (shape, dtype) template tree."""
+    leaves, treedef = jax.tree_util.tree_flatten(
+        template, is_leaf=lambda x: isinstance(x, tuple)
+        and len(x) == 2 and isinstance(x[0], tuple))
+    rebuilt = []
+    off = 0
+    for shape, dtype in leaves:
+        n = int(np.prod(shape)) if shape else 1
+        rebuilt.append(packed[off : off + n].reshape(shape).astype(dtype))
+        off += n
+    assert off == packed.size, (off, packed.size)
+    tree = jax.tree_util.tree_unflatten(treedef, rebuilt)
+    return tree["fs"], tree["outs"]
+
+
 def _fetch_packed(fs: dict, outs: List[dict]):
     """Fetch the per-layer outputs + transcript state in ONE device->host
     transfer: everything is cast to uint32 and concatenated INSIDE one
@@ -512,54 +548,70 @@ class DeviceSumcheckProver:
         g, prf = dfs.dev_sample_elts(F, prf, KMAX_BINDINGS)
         return fs, q, g, prf
 
+    def _prove_all_fn(self, fs, claims, inputs, qds, pads, metas):
+        """The ENTIRE sumcheck prove as one traced program: begin_circuit
+        challenges, every layer's copy/wire scans with the on-device
+        oracle, and the packed output.  One launch + one fetch per proof
+        — each separate program execution pays a fixed multi-hundred-ms
+        turnaround through the remote-TPU relay, which dominated the
+        per-layer formulation."""
+        F = self.F
+        logc, nc = metas[0]
+        fs, q40, g40, prf = self._begin_circuit_fn(fs)
+        bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
+        leaves = []
+        for ly, (logv, logw) in enumerate(metas[1]):
+            cp_pad, hp_pad, wc_pad = pads[ly]
+            (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
+             g1n) = self._layer_fn(
+                fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qds[ly],
+                inputs[ly], cp_pad, hp_pad, wc_pad, logc, nc, logv, logw,
+                ly > 0)
+            leaves.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
+                               hp=hp_raw, g=g_ch))
+            claims = wc
+            if logc > 0:
+                bnd_q = q_next
+            bnd_g0, bnd_g1 = g0n, g1n
+        flat, _ = jax.tree_util.tree_flatten(dict(fs=fs, outs=leaves))
+        return _pack_fn(flat), [(x.shape, x.dtype) for x in flat]
+
     def prove(self, circ: Circuit, inputs: List, ts,
               pad: Optional[Proof] = None, with_aux: bool = False):
-        """ts: TranscriptSumcheck over a host Transcript.  Launches the
-        device programs, fetches once, assembles the host Proof, and
+        """ts: TranscriptSumcheck over a host Transcript.  Launches ONE
+        fused device program, fetches once, assembles the host Proof, and
         advances the host transcript to the post-sumcheck state."""
         F = self.F
         host_ts = ts.ts
         fs = dfs.fs_init_from_host(host_ts)
 
-        if self._begin_jit is None:
-            self._begin_jit = jax.jit(self._begin_circuit_fn)
-        fs, q40, g40, prf = self._begin_jit(fs)
-
         logc, nc = circ.logc, circ.nc
+        metas = ((logc, nc), tuple())
         logv = circ.logv
-        bnd_q = q40
-        bnd_g = [g40, g40]
-
-        claims = jnp.zeros((F.L, 2), jnp.uint32)
-
-        outs = []
+        layer_meta = []
+        qds = []
+        pads = []
         for ly in range(circ.nl):
             layer = circ.layers[ly]
-            qd = self._quad_dev(layer.quad)
-            logw = layer.logw
-            cp_pad, hp_pad, wc_pad = self._pads_dev(
-                pad.layers[ly] if pad else None, logc, logw)
-            W = inputs[ly]
-            fresh = ly > 0
-            key = ("layer", logc, nc, logv, logw, qd["h0"].shape[0],
-                   W.shape, fresh, bnd_q.shape, bnd_g[0].shape)
-            if key not in self._layer_jit:
-                self._layer_jit[key] = jax.jit(
-                    self._layer_fn, static_argnums=(11, 12, 13, 14, 15))
-            (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
-             g1n) = self._layer_jit[key](
-                fs, prf, claims, bnd_q, bnd_g[0], bnd_g[1], qd, W,
-                cp_pad, hp_pad, wc_pad, logc, nc, logv, logw, fresh)
-            outs.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
-                             hp=hp_raw, g=g_ch))
-            claims = wc
-            # next layer bindings: this layer's wire challenges per hand
-            bnd_q = q_next if logc > 0 else bnd_q
-            bnd_g = [g0n, g1n]
-            logv = logw
+            qds.append(self._quad_dev(layer.quad))
+            pads.append(self._pads_dev(
+                pad.layers[ly] if pad else None, logc, layer.logw))
+            layer_meta.append((logv, layer.logw))
+            logv = layer.logw
+        metas = ((logc, nc), tuple(layer_meta))
 
-        # ---- single packed fetch (one D2H round trip) ----
-        fs_np, douts = _fetch_packed(fs, outs)
+        claims = jnp.zeros((F.L, 2), jnp.uint32)
+        key = ("prove", metas, tuple(q["h0"].shape[0] for q in qds),
+               tuple(x.shape for x in inputs))
+        if key not in self._layer_jit:
+            def fn(fs, claims, inputs, qds, pads):
+                return self._prove_all_fn(fs, claims, inputs, qds, pads,
+                                          metas)[0]
+
+            self._layer_jit[key] = jax.jit(fn)
+        packed_dev = self._layer_jit[key](fs, claims, inputs, qds, pads)
+        packed = np.asarray(packed_dev)
+        fs_np, douts = _unpack(packed, _out_template(F, metas))
 
         for d in douts:
             assert bool(np.asarray(d["ok"]).all()), "sum != eq0*quad*wl*wr"
