@@ -172,7 +172,7 @@ def _pack_fn(leaves):
         [jnp.reshape(x.astype(jnp.uint32), (-1,)) for x in leaves])
 
 
-def _out_template(F, metas):
+def _out_template(F, metas, with_eval: bool = False):
     """Host template (shapes/dtypes) matching _prove_all_fn's packed
     output tree — deterministic from the circuit geometry."""
     (logc, _nc), layer_meta = metas
@@ -187,9 +187,12 @@ def _out_template(F, metas):
             hp=((logw, F.L, 2, 3), np.uint32),
             g=((logw, F.L, 2), np.uint32),
         ))
-    return dict(fs=dict(h=((8,), np.uint32), buf=((64,), np.uint8),
+    tree = dict(fs=dict(h=((8,), np.uint32), buf=((64,), np.uint8),
                         cnt=((), np.uint32)),
                 outs=outs)
+    if with_eval:
+        tree["evalok"] = ((len(layer_meta) + 1,), np.bool_)
+    return tree
 
 
 def _unpack(packed: np.ndarray, template):
@@ -205,7 +208,7 @@ def _unpack(packed: np.ndarray, template):
         off += n
     assert off == packed.size, (off, packed.size)
     tree = jax.tree_util.tree_unflatten(treedef, rebuilt)
-    return tree["fs"], tree["outs"]
+    return tree["fs"], tree["outs"], tree.get("evalok")
 
 
 def _fetch_packed(fs: dict, outs: List[dict]):
@@ -548,15 +551,31 @@ class DeviceSumcheckProver:
         g, prf = dfs.dev_sample_elts(F, prf, KMAX_BINDINGS)
         return fs, q, g, prf
 
-    def _prove_all_fn(self, fs, claims, inputs, qds, pads, metas):
-        """The ENTIRE sumcheck prove as one traced program: begin_circuit
-        challenges, every layer's copy/wire scans with the on-device
-        oracle, and the packed output.  One launch + one fetch per proof
-        — each separate program execution pays a fixed multi-hundred-ms
-        turnaround through the remote-TPU relay, which dominated the
-        per-layer formulation."""
+    def _prove_all_fn(self, fs, claims, inputs, qds, pads, metas,
+                      W0=None, nvs=None):
+        """The ENTIRE sumcheck prove as one traced program: (optionally)
+        the circuit evaluation, begin_circuit challenges, every layer's
+        copy/wire scans with the on-device oracle, and the packed output.
+        One launch + one fetch per proof — each separate program
+        execution pays a fixed multi-hundred-ms turnaround through the
+        remote-TPU relay, which dominated the per-layer formulation."""
         F = self.F
         logc, nc = metas[0]
+        nl = len(metas[1])
+        eval_flags = []
+        if W0 is not None:
+            # in-program circuit evaluation (prover_layers.h:52-98)
+            inputs = [None] * nl
+            inputs[nl - 1] = W0
+            W = W0
+            for l in range(nl - 1, -1, -1):
+                V, okl = self._eval_layer(qds[l], W, nvs[l])
+                eval_flags.append(okl)
+                if l > 0:
+                    inputs[l - 1] = V
+                W = V
+            # outputs must be all zero (honest-prover check)
+            eval_flags.append(jnp.all(F.is_zero(W)))
         fs, q40, g40, prf = self._begin_circuit_fn(fs)
         bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
         leaves = []
@@ -573,8 +592,11 @@ class DeviceSumcheckProver:
             if logc > 0:
                 bnd_q = q_next
             bnd_g0, bnd_g1 = g0n, g1n
-        flat, _ = jax.tree_util.tree_flatten(dict(fs=fs, outs=leaves))
-        return _pack_fn(flat), [(x.shape, x.dtype) for x in flat]
+        tree = dict(fs=fs, outs=leaves)
+        if W0 is not None:
+            tree["evalok"] = jnp.stack(eval_flags)
+        flat, _ = jax.tree_util.tree_flatten(tree)
+        return _pack_fn(flat)
 
     def prove(self, circ: Circuit, inputs: List, ts,
               pad: Optional[Proof] = None, with_aux: bool = False):
@@ -606,13 +628,61 @@ class DeviceSumcheckProver:
         if key not in self._layer_jit:
             def fn(fs, claims, inputs, qds, pads):
                 return self._prove_all_fn(fs, claims, inputs, qds, pads,
-                                          metas)[0]
+                                          metas)
 
             self._layer_jit[key] = jax.jit(fn)
         packed_dev = self._layer_jit[key](fs, claims, inputs, qds, pads)
         packed = np.asarray(packed_dev)
-        fs_np, douts = _unpack(packed, _out_template(F, metas))
+        fs_np, douts, _ = _unpack(packed, _out_template(F, metas))
+        return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
 
+    def prove_with_witness(self, circ: Circuit, W0, ts,
+                           pad: Optional[Proof] = None,
+                           with_aux: bool = False):
+        """Fused circuit evaluation + sumcheck prove: ONE device program,
+        one fetch.  Returns (proof, aux, bindings), or (None, None, None)
+        if the witness does not satisfy the circuit (in which case the
+        host transcript is left untouched)."""
+        F = self.F
+        host_ts = ts.ts
+        fs = dfs.fs_init_from_host(host_ts)
+
+        logc, nc = circ.logc, circ.nc
+        logv = circ.logv
+        layer_meta = []
+        qds = []
+        pads = []
+        nvs = []
+        for ly in range(circ.nl):
+            layer = circ.layers[ly]
+            nvs.append(circ.layers[ly - 1].nw if ly > 0 else circ.nv)
+            qds.append(self._quad_dev_eval(layer.quad, nvs[-1]))
+            pads.append(self._pads_dev(
+                pad.layers[ly] if pad else None, logc, layer.logw))
+            layer_meta.append((logv, layer.logw))
+            logv = layer.logw
+        metas = ((logc, nc), tuple(layer_meta))
+        nvs = tuple(nvs)
+
+        claims = jnp.zeros((F.L, 2), jnp.uint32)
+        key = ("provew", metas, nvs,
+               tuple(q["h0"].shape[0] for q in qds), W0.shape)
+        if key not in self._layer_jit:
+            def fn(fs, claims, W0, qds, pads):
+                return self._prove_all_fn(fs, claims, None, qds, pads,
+                                          metas, W0=W0, nvs=nvs)
+
+            self._layer_jit[key] = jax.jit(fn)
+        packed = np.asarray(self._layer_jit[key](fs, claims, W0, qds, pads))
+        fs_np, douts, evalok = _unpack(
+            packed, _out_template(F, metas, with_eval=True))
+        if not bool(np.asarray(evalok).all()):
+            return None, None, None
+        return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
+
+    def _assemble(self, circ, pad, with_aux, fs_np, douts, host_ts):
+        F = self.F
+        logc = circ.logc
         for d in douts:
             assert bool(np.asarray(d["ok"]).all()), "sum != eq0*quad*wl*wr"
 

@@ -66,18 +66,12 @@ class ZkProver:
         lead = (8,) if F.kCharacteristicTwo else \
             ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
         W0 = jnp.asarray(F.to_limbs(W_host)).reshape(lead + (c.ninputs, 1))
-        inputs, finalV = self.sumcheck.eval_circuit(c, W0)
-        if finalV is None:
-            return False
-        import numpy as np
-
-        out = F.from_limbs(np.asarray(finalV))
-        if any(v != 0 and v != (0, 0) for v in np.ravel(out)):
-            return False
-
+        # fused evaluation + sumcheck: one device program, one fetch
         tsts = TranscriptSumcheck(tst, F)
-        proof, aux, _bnd = self.sumcheck.prove(c, inputs, tsts, pad=self.pad,
-                                               with_aux=True)
+        proof, aux, _bnd = self.sumcheck.prove_with_witness(
+            c, W0, tsts, pad=self.pad, with_aux=True)
+        if proof is None:
+            return False
         zkp.proof = proof
 
         a, b, ci = verifier_constraints(c, W_host, proof, aux, ts,
