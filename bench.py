@@ -82,14 +82,17 @@ def bench_zk_sha() -> float:
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
-def bench_fft() -> float:
+def bench_fft(matmul: bool = False) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from longfellow_zk_tpu.fields.fp_instances import (
         fp128, P128_OMEGA, P128_OMEGA_ORDER)
-    from longfellow_zk_tpu.transforms.ntt import NTT
+    if matmul:
+        from longfellow_zk_tpu.transforms.matmul_ntt import MatmulNTT as NTT
+    else:
+        from longfellow_zk_tpu.transforms.ntt import NTT
 
     F = fp128()
     ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
@@ -110,19 +113,36 @@ def bench_fft() -> float:
 def main() -> None:
     extra = {}
     value = None
+
+    # 1) MXU matmul-NTT in a deadline-guarded child process FIRST — the
+    # TPU tunnel is single-tenant, so the child must run before this
+    # process initializes the backend (two holders deadlock); its first
+    # compile through the remote relay can take very long.
+    if _left() > 1500 and os.environ.get("BENCH_SKIP_FFT") != "1":
+        import subprocess
+
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r); import bench; "
+                 "print('FFTMS', bench.bench_fft(matmul=True))"
+                 % os.path.dirname(os.path.abspath(__file__))],
+                capture_output=True, text=True,
+                timeout=min(1500, max(300, _left() - 900)))
+            for line in out.stdout.splitlines():
+                if line.startswith("FFTMS"):
+                    fft_ms = float(line.split()[1])
+                    extra["fft_fp128_2e20_ms"] = round(fft_ms, 3)
+                    extra["fft_vs_baseline"] = round(
+                        FFT_BASELINE_MS / fft_ms, 2)
+        except Exception as e:  # pragma: no cover
+            extra["fft_matmul_error"] = repr(e)[:120]
+
+    # 2) the headline: full ZK-SHA proof
     try:
-        dt = bench_zk_sha()
-        value = dt
+        value = bench_zk_sha()
     except Exception as e:  # pragma: no cover
         extra["zk_sha_error"] = repr(e)[:200]
-
-    if _left() > 420:
-        try:
-            fft_ms = bench_fft()
-            extra["fft_fp128_2e20_ms"] = round(fft_ms, 3)
-            extra["fft_vs_baseline"] = round(FFT_BASELINE_MS / fft_ms, 2)
-        except Exception as e:  # pragma: no cover
-            extra["fft_error"] = repr(e)[:200]
 
     if value is not None:
         print(json.dumps({

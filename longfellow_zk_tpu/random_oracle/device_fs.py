@@ -289,8 +289,11 @@ def dev_sample_elt(F, prf: dict) -> Tuple[jax.Array, dict]:
         return ~c[1]
 
     def body(c):
-        limbs, ok, prf = attempt(c[2])
-        return (limbs, ok, prf)
+        limbs_old, ok_old, prf_old = c
+        limbs, ok, prf = attempt(prf_old)
+        # keep already-accepted lanes (vmap-safe: under vmap the loop
+        # runs until every lane accepts)
+        return (jnp.where(ok_old, limbs_old, limbs), ok_old | ok, prf)
 
     limbs, _, prf = jax.lax.while_loop(cond, body, (limbs0, ok0, prf0))
     # natural -> Montgomery (mul by R2)

@@ -15,7 +15,10 @@ def _roundtrip_state(ts):
     return fs
 
 
-@pytest.mark.parametrize("field_fn", [fp128, fp64, p256_base, gf2_128])
+@pytest.mark.parametrize("field_fn", [
+    fp128, pytest.param(fp64, marks=pytest.mark.slow),
+    pytest.param(p256_base, marks=pytest.mark.slow),
+    gf2_128])
 def test_challenges_match_host(field_fn):
     F = field_fn()
     ts = Transcript(b"device fs test", version=7)
@@ -32,7 +35,8 @@ def test_challenges_match_host(field_fn):
     assert got == want
 
 
-@pytest.mark.parametrize("field_fn", [fp128, gf2_128])
+@pytest.mark.parametrize("field_fn", [
+    fp128, pytest.param(gf2_128, marks=pytest.mark.slow)])
 def test_interleaved_writes_and_squeezes(field_fn):
     F = field_fn()
     ts = Transcript(b"interleave", version=7)
@@ -54,6 +58,7 @@ def test_interleaved_writes_and_squeezes(field_fn):
         assert got == want, i
 
 
+@pytest.mark.slow
 def test_write_elts_matches_host():
     F = fp128()
     ts = Transcript(b"elts", version=7)

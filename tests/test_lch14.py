@@ -40,7 +40,9 @@ def test_mul_const_bits():
         assert got[i] == gf_mul_int(x, c)
 
 
-@pytest.mark.parametrize("l", [1, 3, 4])
+@pytest.mark.parametrize("l", [
+    1, pytest.param(3, marks=pytest.mark.slow),
+    pytest.param(4, marks=pytest.mark.slow)])
 def test_fft_ifft_roundtrip(l):
     F = gf2_128()
     rng = random.Random(l)
@@ -88,7 +90,9 @@ def test_fft_evaluates_polynomial():
     assert ev == want
 
 
-@pytest.mark.parametrize("n,m", [(4, 4), (5, 12), (8, 24), (7, 40)])
+@pytest.mark.parametrize("n,m", [
+    (4, 4), (5, 12), pytest.param(8, 24, marks=pytest.mark.slow),
+    pytest.param(7, 40, marks=pytest.mark.slow)])
 def test_lch14_reed_solomon(n, m):
     F = gf2_128()
     rng = random.Random(n * m)
@@ -100,6 +104,7 @@ def test_lch14_reed_solomon(n, m):
     assert got == want
 
 
+@pytest.mark.slow
 def test_lch14_reed_solomon_batched():
     F = gf2_128()
     rng = random.Random(77)

@@ -63,7 +63,8 @@ def test_prove_verify_sgonal_circuit():
     import itertools
     import jax.numpy as jnp
     from longfellow_zk_tpu.random_oracle.transcript import Transcript
-    from longfellow_zk_tpu.sumcheck.prover import SumcheckProver
+    from longfellow_zk_tpu.sumcheck.prover_device import (
+        DeviceSumcheckProver as SumcheckProver)
     from longfellow_zk_tpu.sumcheck.transcript_sumcheck import (
         TranscriptSumcheck)
     from longfellow_zk_tpu.sumcheck.verifier import verify

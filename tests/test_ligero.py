@@ -78,7 +78,8 @@ def _setup(F, rng, nw=20, nq=4):
     return W, lqc, llterm, b, nl
 
 
-@pytest.mark.parametrize("field_kind", ["fp128", "gf2"])
+@pytest.mark.parametrize("field_kind", [
+    "fp128", pytest.param("gf2", marks=pytest.mark.slow)])
 def test_ligero_roundtrip(field_kind):
     if field_kind == "fp128":
         F = fp128()
@@ -106,6 +107,7 @@ def test_ligero_roundtrip(field_kind):
     assert ok, why
 
 
+@pytest.mark.slow
 def test_ligero_rejects_bad_linear_claim():
     F = fp128()
     factory = _rs_factory_fp128()

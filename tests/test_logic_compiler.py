@@ -72,7 +72,8 @@ def test_compile_and_prove_small_circuit():
     """Build (pub + priv1*priv2 == 0) via the DSL, compile, evaluate,
     prove, verify."""
     from longfellow_zk_tpu.random_oracle.transcript import Transcript
-    from longfellow_zk_tpu.sumcheck.prover import SumcheckProver
+    from longfellow_zk_tpu.sumcheck.prover_device import (
+        DeviceSumcheckProver as SumcheckProver)
     from longfellow_zk_tpu.sumcheck.transcript_sumcheck import (
         TranscriptSumcheck)
     from longfellow_zk_tpu.sumcheck.verifier import verify

@@ -1,5 +1,7 @@
 """Matmul-NTT vs reference-semantics NTT (small sizes, CPU)."""
 
+import pytest
+pytestmark = pytest.mark.slow
 import random
 
 import jax

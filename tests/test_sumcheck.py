@@ -59,7 +59,10 @@ def _device_w(F, W_host):
     return jnp.asarray(F.to_limbs(flat)).reshape(lead, nw, nc)
 
 
-@pytest.mark.parametrize("nc", [1, 2, 3, 8])
+@pytest.mark.parametrize("nc", [
+    1, pytest.param(2, marks=pytest.mark.slow),
+    pytest.param(3, marks=pytest.mark.slow),
+    pytest.param(8, marks=pytest.mark.slow)])
 def test_sumcheck_roundtrip_fp128(nc):
     F = fp128()
     circ = _mul_check_circuit(F, nc)
@@ -84,6 +87,7 @@ def test_sumcheck_roundtrip_fp128(nc):
     assert ok, why
 
 
+@pytest.mark.slow
 def test_sumcheck_rejects_corruption():
     F = fp128()
     nc = 2

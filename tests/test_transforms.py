@@ -40,7 +40,9 @@ def naive_dft(F, a, w):
     return out
 
 
-@pytest.mark.parametrize("n", [1, 2, 8, 64])
+@pytest.mark.parametrize("n", [
+    1, 2, pytest.param(8, marks=pytest.mark.slow),
+    pytest.param(64, marks=pytest.mark.slow)])
 def test_ntt_matches_naive_dft(n):
     F = fp128()
     ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
@@ -56,6 +58,7 @@ def test_ntt_matches_naive_dft(n):
     assert list(got) == want
 
 
+@pytest.mark.slow
 def test_ntt_roundtrip_scaling():
     F = fp128()
     ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
@@ -132,6 +135,7 @@ def test_reed_solomon_fp128():
     assert list(got) == want
 
 
+@pytest.mark.slow
 def test_reed_solomon_batched_rows():
     F = fp128()
     rng = random.Random(19)
@@ -146,6 +150,7 @@ def test_reed_solomon_batched_rows():
         assert list(got[r]) == _rs_oracle(F, data[r], m)
 
 
+@pytest.mark.slow
 def test_reed_solomon_p256_via_fp2():
     Fb = p256_base()
     F2 = Fp2(Fb)

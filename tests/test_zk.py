@@ -67,7 +67,8 @@ def _zk_circuit(F):
                    id=b"\x11" * 32)
 
 
-@pytest.mark.parametrize("field_kind", ["fp128", "gf2"])
+@pytest.mark.parametrize("field_kind", [
+    "fp128", pytest.param("gf2", marks=pytest.mark.slow)])
 def test_zk_roundtrip(field_kind):
     F = fp128() if field_kind == "fp128" else gf2_128()
     factory = _rs_factory(F)
@@ -94,6 +95,7 @@ def test_zk_roundtrip(field_kind):
     assert ok, why
 
 
+@pytest.mark.slow
 def test_zk_rejects_wrong_public_input():
     F = fp128()
     factory = _rs_factory(F)
@@ -122,6 +124,7 @@ def test_zk_rejects_wrong_public_input():
     assert not ok2
 
 
+@pytest.mark.slow
 def test_zk_unsatisfied_witness_refused():
     F = fp128()
     factory = _rs_factory(F)
