@@ -598,12 +598,60 @@ class DeviceSumcheckProver:
         flat, _ = jax.tree_util.tree_flatten(tree)
         return _pack_fn(flat)
 
+    def prove_layered(self, circ: Circuit, inputs: List, ts,
+                      pad: Optional[Proof] = None, with_aux: bool = False):
+        """Per-layer program variant for circuits too large to compile
+        fused (one jitted program per layer shape + one jitted pack;
+        ~nl+2 device launches, one fetch)."""
+        F = self.F
+        host_ts = ts.ts
+        fs = dfs.fs_init_from_host(host_ts)
+        if self._begin_jit is None:
+            self._begin_jit = jax.jit(self._begin_circuit_fn)
+        fs, q40, g40, prf = self._begin_jit(fs)
+
+        logc, nc = circ.logc, circ.nc
+        logv = circ.logv
+        bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
+        claims = jnp.zeros((F.L, 2), jnp.uint32)
+        outs = []
+        for ly in range(circ.nl):
+            layer = circ.layers[ly]
+            qd = self._quad_dev(layer.quad)
+            logw = layer.logw
+            cp_pad, hp_pad, wc_pad = self._pads_dev(
+                pad.layers[ly] if pad else None, logc, logw)
+            W = inputs[ly]
+            fresh = ly > 0
+            key = ("layer", logc, nc, logv, logw, qd["h0"].shape[0],
+                   W.shape, fresh, bnd_q.shape, bnd_g0.shape)
+            if key not in self._layer_jit:
+                self._layer_jit[key] = jax.jit(
+                    self._layer_fn, static_argnums=(11, 12, 13, 14, 15))
+            (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
+             g1n) = self._layer_jit[key](
+                fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qd, W,
+                cp_pad, hp_pad, wc_pad, logc, nc, logv, logw, fresh)
+            outs.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
+                             hp=hp_raw, g=g_ch))
+            claims = wc
+            if logc > 0:
+                bnd_q = q_next
+            bnd_g0, bnd_g1 = g0n, g1n
+            logv = logw
+        fs_np, douts = _fetch_packed(fs, outs)
+        return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
+
     def prove(self, circ: Circuit, inputs: List, ts,
               pad: Optional[Proof] = None, with_aux: bool = False):
         """ts: TranscriptSumcheck over a host Transcript.  Launches ONE
         fused device program, fetches once, assembles the host Proof, and
-        advances the host transcript to the post-sumcheck state."""
+        advances the host transcript to the post-sumcheck state.  Large
+        circuits fall back to per-layer programs (compile memory)."""
         F = self.F
+        if circ.nterms() > self.K_FUSE_TERM_LIMIT:
+            return self.prove_layered(circ, inputs, ts, pad=pad,
+                                      with_aux=with_aux)
         host_ts = ts.ts
         fs = dfs.fs_init_from_host(host_ts)
 
@@ -636,6 +684,11 @@ class DeviceSumcheckProver:
         fs_np, douts, _ = _unpack(packed, _out_template(F, metas))
         return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
 
+    # Above this many total quad terms the all-layers-fused program is
+    # split per layer: the XLA compile of the fully fused mdoc-scale
+    # graph (17 layers x millions of terms) OOMs the compile helper.
+    K_FUSE_TERM_LIMIT = 1_500_000
+
     def prove_with_witness(self, circ: Circuit, W0, ts,
                            pad: Optional[Proof] = None,
                            with_aux: bool = False):
@@ -644,6 +697,15 @@ class DeviceSumcheckProver:
         if the witness does not satisfy the circuit (in which case the
         host transcript is left untouched)."""
         F = self.F
+        if circ.nterms() > self.K_FUSE_TERM_LIMIT:
+            inputs, finalV = self.eval_circuit(circ, W0)
+            if finalV is None:
+                return None, None, None
+            out = F.from_limbs(np.asarray(finalV))
+            if any(v != 0 and v != (0, 0) for v in np.ravel(out)):
+                return None, None, None
+            return self.prove_layered(circ, inputs, ts, pad=pad,
+                                      with_aux=with_aux)
         host_ts = ts.ts
         fs = dfs.fs_init_from_host(host_ts)
 
