@@ -409,6 +409,9 @@ class Logic:
     def vand(self, a, b):
         return [self.land(x, y) for x, y in zip(a, b)]
 
+    def vor(self, a, b):
+        return [self.lor(x, y) for x, y in zip(a, b)]
+
     def vnot(self, a):
         return [self.lnot(x) for x in a]
 
@@ -427,6 +430,9 @@ class Logic:
     def vrotr(self, a, n: int):
         w = len(a)
         return [a[(i + n) % w] for i in range(w)]
+
+    def vrotl(self, a, n: int):
+        return self.vrotr(a, (len(a) - n) % len(a))
 
     def vappend(self, a, b):
         """concatenate, a = LSB part (logic.h vappend)."""

@@ -57,7 +57,8 @@ class NTT:
         self.F = F
         self.omega = omega
         self.omega_order = omega_order
-        self.nlead = 2 if type(F).__name__ == "Fp2" else 1
+        self.nlead = getattr(
+            F, "kNLead", 2 if type(F).__name__ == "Fp2" else 1)
 
     def _root_of_order(self, n: int, inverse: bool):
         """omega^(order/n), optionally inverted (Twiddle::reroot)."""
