@@ -80,7 +80,8 @@ def bit_plucker_point(F, n: int, bits: int):
     """F.of_scalar(2*bits) - F.of_scalar(n-1) (bit_plucker_constants.h)."""
     if F.kCharacteristicTwo:
         return F.sub_i(F.of_scalar(2 * bits), F.of_scalar(n - 1))
-    return F.sub_i(F.of_scalar((2 * bits) % F.p), F.of_scalar((n - 1) % F.p))
+    return F.sub_i(F.of_scalar((2 * bits) % F.char),
+                   F.of_scalar((n - 1) % F.char))
 
 
 class BitPlucker:
@@ -183,7 +184,7 @@ class Counter:
         # integer
         if self.char2:
             return L.bk.konst(F.as_counter(n))
-        return L.konst(n % F.p)
+        return L.konst(n % F.char)
 
     def mone(self):
         L, F = self.l, self.l.F
@@ -332,7 +333,8 @@ class BitAdder:
         if not F.kCharacteristicTwo:
             r = L.konst(0)
             for i in range(self.n):
-                r = L.bk.axpy(r, F.of_scalar((1 << i) % F.p), L.eval(v[i]))
+                r = L.bk.axpy(r, F.of_scalar((1 << i) % F.char),
+                              L.eval(v[i]))
             return r
         return L.mul_range(
             0, self.n,
@@ -363,7 +365,7 @@ class BitAdder:
             zz = L.mul_range(
                 0, k,
                 lambda i: L.sub(z, L.bk.konst(
-                    F.of_scalar(((1 << self.n) * i) % F.p))))
+                    F.of_scalar(((1 << self.n) * i) % F.char))))
             L.assert0_elt(zz)
         else:
             p = [F.of_scalar(1)]

@@ -205,7 +205,7 @@ class Logic:
         F = self.F
         if F.kCharacteristicTwo:
             return F.beta[i]
-        return F.of_scalar((1 << i) % F.p)
+        return F.of_scalar((1 << i) % F.char)
 
     # -- assertions ---------------------------------------------------------
 

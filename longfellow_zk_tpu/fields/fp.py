@@ -62,6 +62,7 @@ class PrimeField:
 
     def __init__(self, p: int, name: str, nbytes: Optional[int] = None):
         self.p = p
+        self.char = p  # field characteristic (generic packing basis)
         self.name = name
         self.bits = p.bit_length()
         self.L = (self.bits + 15) // 16
