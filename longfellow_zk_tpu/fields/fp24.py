@@ -77,6 +77,13 @@ class Fp24_6:
     def mul_i(self, a, b) -> Elt6:
         a, b = self._t(a), self._t(b)
         p = self.f.p
+        # subfield fast paths (most circuit values live in Fp24)
+        if not any(a[1:]):
+            a0 = a[0]
+            return tuple((a0 * x) % p for x in b)
+        if not any(b[1:]):
+            b0 = b[0]
+            return tuple((x * b0) % p for x in a)
         m = [0] * 11
         for i in range(6):
             for j in range(6):
