@@ -199,6 +199,16 @@ class PrimeField:
         out = raw.reshape(moved.shape[:-1] + (2 * self.L,))
         return out[..., : self.kBytes]
 
+    def natural_limbs_to_bytes_dev(self, arr: Array) -> Array:
+        """Device twin of natural_limbs_to_bytes_np:
+        uint32[L, ...] natural limbs -> uint8[..., kBytes] LE bytes."""
+        moved = jnp.moveaxis(arr, 0, -1)  # [..., L] 16-bit limbs
+        lo = (moved & jnp.uint32(0xFF)).astype(jnp.uint8)
+        hi = ((moved >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+        out = jnp.stack([lo, hi], axis=-1).reshape(
+            moved.shape[:-1] + (2 * self.L,))
+        return out[..., : self.kBytes]
+
     # ------------------------------------------------------------------
     # device ops (uint32[L, ...] Montgomery form)
     # ------------------------------------------------------------------

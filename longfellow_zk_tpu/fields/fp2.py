@@ -209,6 +209,11 @@ class Fp2:
         im = self.f.natural_limbs_to_bytes_np(a[1])
         return np.concatenate([re, im], axis=-1)
 
+    def natural_limbs_to_bytes_dev(self, arr: Array) -> Array:
+        re = self.f.natural_limbs_to_bytes_dev(arr[0])
+        im = self.f.natural_limbs_to_bytes_dev(arr[1])
+        return jnp.concatenate([re, im], axis=-1)
+
     def lazy_sum(self, a: Array, axis: int) -> Array:
         return jnp.stack([self.f.lazy_sum(a[0], axis),
                           self.f.lazy_sum(a[1], axis)])

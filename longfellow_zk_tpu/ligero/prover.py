@@ -130,27 +130,27 @@ class LigeroProver:
         flatd = idot + iquad
         arr_d = jnp.asarray(F.to_limbs(flatd)).reshape(lead + (2, p.dblock))
 
-        key = ("commit", F.name, arr_b.shape, arr_d.shape, p.block_enc)
-        if key not in _JIT_CACHE:
-            _JIT_CACHE[key] = jax.jit(self._commit_fn)
-        tableau, nat_dev = _JIT_CACHE[key](arr_b, arr_d)
-        self.tableau_dev = tableau
-        self.tableau_bytes = F.natural_limbs_to_bytes_np(np.asarray(nat_dev))
-
-        # --- Merkle commitment over ext columns (device-batched SHA-256) ---
-        from ..merkle.sha256_jax import sha256_batch
-
         nonces = [rng.bytes(NONCE_LEN) for _ in range(p.block_ext)]
-        # message per column j: nonce_j || column bytes (rows in order)
-        cols = np.ascontiguousarray(
-            self.tableau_bytes[:, p.dblock :, :].transpose(1, 0, 2)
-        ).reshape(p.block_ext, -1)
         nonce_arr = np.frombuffer(b"".join(nonces), dtype=np.uint8).reshape(
             p.block_ext, NONCE_LEN)
-        msgs = np.concatenate([nonce_arr, cols], axis=1)
-        digests = sha256_batch(msgs)
-        leaves = [digests[j].tobytes() for j in range(p.block_ext)]
+
+        # One device program: RS encode + tableau + natural serialization
+        # + per-column leaf hashing + Merkle tree reduce.  Only the leaf
+        # digests and the root cross the host boundary (the tableau
+        # stays device-resident for prove); the host rebuilds the tree
+        # from the leaves for proof opening.
+        key = ("commitf", F.name, arr_b.shape, arr_d.shape, p.block_enc,
+               p.dblock)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(self._commit_full_fn)
+        tableau, leaves_dev, root_dev = _JIT_CACHE[key](
+            arr_b, arr_d, jnp.asarray(nonce_arr))
+        self.tableau_dev = tableau
+        leaves_np = np.asarray(leaves_dev)
+        leaves = [leaves_np[j].tobytes() for j in range(p.block_ext)]
         root = self.mc.commit_leaves(leaves, nonces)
+        assert root == np.asarray(root_dev).tobytes(), \
+            "device/host Merkle root mismatch"
         commitment = LigeroCommitment(root=root)
         write_commitment(commitment, ts)
         return commitment
@@ -178,10 +178,24 @@ class LigeroProver:
         )
         return tableau, F.from_mont_device(tableau)
 
-    def _responses_fn(self, T, u_ldt, A_arr, u_quad):
-        """One device program for all three tests
-        (ligero_prover.h:283-350): y_ldt, y_dot (incl. batched Aext
-        RS-interpolation), y_quad, and the W-part-zero sanity flag."""
+    def _commit_full_fn(self, arr_b, arr_d, nonce_arr):
+        """_commit_fn + column leaf hashing + Merkle root, fully
+        in-program (ligero_prover.h:58-79 incl. the merkle commit)."""
+        from ..merkle.merkle_jax import merkle_root_dev, sha256_msgs_dev
+
+        p, F = self.p, self.F
+        tableau, nat = self._commit_fn(arr_b, arr_d)
+        bdev = F.natural_limbs_to_bytes_dev(nat)  # [nrow, block_enc, kB]
+        ext = bdev[:, p.dblock :, :]  # [nrow, block_ext, kB]
+        cols = jnp.transpose(ext, (1, 0, 2)).reshape(p.block_ext, -1)
+        msgs = jnp.concatenate([nonce_arr, cols], axis=1)
+        leaves = sha256_msgs_dev(msgs)
+        return tableau, leaves, merkle_root_dev(leaves)
+
+    def _responses_core(self, T, u_ldt, A_arr, u_quad):
+        """Traced core of the three Ligero tests
+        (ligero_prover.h:283-350): returns (y_ldt, y_dot, y_quad, okq)
+        as device arrays, for composition into larger programs."""
         p, F = self.p, self.F
         rax = T.ndim - 2  # row axis
         nlead = T.ndim - 2
@@ -212,8 +226,14 @@ class LigeroProver:
         y_quad = F.add(row(p.iquad)[..., : p.dblock],
                        F.lazy_sum(t2, axis=nlead - 1))
         okq = jnp.all(F.is_zero(y_quad[..., p.r : p.r + p.w]))
-        # one flat packed output (a single D2H transfer; eager casts and
-        # per-array fetches cost a relay round trip each)
+        return y_ldt, y_dot, y_quad, okq
+
+    def _responses_fn(self, T, u_ldt, A_arr, u_quad):
+        """_responses_core with one flat packed output (a single D2H
+        transfer; eager casts and per-array fetches cost a relay round
+        trip each)."""
+        y_ldt, y_dot, y_quad, okq = self._responses_core(
+            T, u_ldt, A_arr, u_quad)
         return jnp.concatenate([
             y_ldt.reshape(-1), y_dot.reshape(-1), y_quad.reshape(-1),
             okq.reshape(-1).astype(jnp.uint32)])

@@ -317,3 +317,58 @@ def fs_challenge_elt(F, fs: dict) -> Tuple[jax.Array, dict]:
     """Squeeze one element (fresh PRF; transcript state unchanged)."""
     x, _ = dev_sample_elt(F, fs_squeeze(fs))
     return x, fs
+
+
+# ---------------------------------------------------------------------------
+# naturals + distinct-index choose (device twins of Transcript.nat/choose,
+# reference random.h:57-105) — used for the Ligero column openings
+# ---------------------------------------------------------------------------
+
+def _nat_mask(n: int) -> int:
+    mask = 0
+    while (n & mask) != n:
+        mask = (mask << 1) | 1
+    return mask
+
+
+def dev_nat(prf: dict, n: int) -> Tuple[jax.Array, dict]:
+    """Random uint32 < n (static n <= 2^32) by rejection, byte-exact vs
+    the host Transcript.nat."""
+    assert 0 < n <= 1 << 32
+    l = max(1, (int(n).bit_length() + 7) // 8)
+    msk = np.uint32(_nat_mask(n))
+
+    def draw(prf):
+        b, prf = prf_bytes(prf, l)
+        r = jnp.zeros((), _U32)
+        for i in range(l):
+            r = r | (b[i].astype(_U32) << np.uint32(8 * i))
+        return r & msk, prf
+
+    r0, prf0 = draw(prf)
+
+    def cond(c):
+        return ~(c[0] < np.uint32(n))
+
+    def body(c):
+        _, prf_old = c
+        return draw(prf_old)
+
+    r, prf = jax.lax.while_loop(cond, body, (r0, prf0))
+    return r, prf
+
+
+def dev_choose(prf: dict, n: int, k: int) -> Tuple[jax.Array, dict]:
+    """k distinct naturals in [0, n) via the partial Fisher-Yates walk,
+    byte-exact vs the host Transcript.choose.  Returns int32[k]."""
+    assert n >= k
+    A = jnp.arange(n, dtype=jnp.int32)
+    res = []
+    for i in range(k):
+        r, prf = dev_nat(prf, n - i)
+        j = (np.int32(i) + r).astype(jnp.int32)
+        ai = A[i]
+        aj = A[j]
+        A = A.at[i].set(aj).at[j].set(ai)
+        res.append(aj)
+    return jnp.stack(res), prf

@@ -537,7 +537,7 @@ class DeviceSumcheckProver:
         g0_next = g_moved[..., 0, :]
         g1_next = g_moved[..., 1, :]
         return (fs, wc, bound_quad, ok, cp_raw, q_ch, hp_raw, g_ch,
-                q_next, g0_next, g1_next)
+                q_next, g0_next, g1_next, alpha)
 
     # ------------------------------------------------------------------
     # public API (mirrors SumcheckProver.prove)
@@ -551,14 +551,13 @@ class DeviceSumcheckProver:
         g, prf = dfs.dev_sample_elts(F, prf, KMAX_BINDINGS)
         return fs, q, g, prf
 
-    def _prove_all_fn(self, fs, claims, inputs, qds, pads, metas,
-                      W0=None, nvs=None):
-        """The ENTIRE sumcheck prove as one traced program: (optionally)
-        the circuit evaluation, begin_circuit challenges, every layer's
-        copy/wire scans with the on-device oracle, and the packed output.
-        One launch + one fetch per proof — each separate program
-        execution pays a fixed multi-hundred-ms turnaround through the
-        remote-TPU relay, which dominated the per-layer formulation."""
+    def _prove_core(self, fs, claims, inputs, qds, pads, metas,
+                    W0=None, nvs=None):
+        """The traced sumcheck prove loop: (optionally) the circuit
+        evaluation, begin_circuit challenges, every layer's copy/wire
+        scans with the on-device oracle.  Returns (fs, leaves,
+        eval_flags, alphas) for the caller to pack — or to continue
+        tracing straight into the Ligero phase (zk/fused.py)."""
         F = self.F
         logc, nc = metas[0]
         nl = len(metas[1])
@@ -579,19 +578,31 @@ class DeviceSumcheckProver:
         fs, q40, g40, prf = self._begin_circuit_fn(fs)
         bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
         leaves = []
+        alphas = []
         for ly, (logv, logw) in enumerate(metas[1]):
             cp_pad, hp_pad, wc_pad = pads[ly]
             (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
-             g1n) = self._layer_fn(
+             g1n, alpha) = self._layer_fn(
                 fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qds[ly],
                 inputs[ly], cp_pad, hp_pad, wc_pad, logc, nc, logv, logw,
                 ly > 0)
             leaves.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
                                hp=hp_raw, g=g_ch))
+            alphas.append(alpha)
             claims = wc
             if logc > 0:
                 bnd_q = q_next
             bnd_g0, bnd_g1 = g0n, g1n
+        return fs, leaves, eval_flags, alphas
+
+    def _prove_all_fn(self, fs, claims, inputs, qds, pads, metas,
+                      W0=None, nvs=None):
+        """The ENTIRE sumcheck prove as one traced program with a packed
+        output.  One launch + one fetch per proof — each separate program
+        execution pays a fixed multi-hundred-ms turnaround through the
+        remote-TPU relay, which dominated the per-layer formulation."""
+        fs, leaves, eval_flags, _ = self._prove_core(
+            fs, claims, inputs, qds, pads, metas, W0=W0, nvs=nvs)
         tree = dict(fs=fs, outs=leaves)
         if W0 is not None:
             tree["evalok"] = jnp.stack(eval_flags)
@@ -629,7 +640,7 @@ class DeviceSumcheckProver:
                 self._layer_jit[key] = jax.jit(
                     self._layer_fn, static_argnums=(11, 12, 13, 14, 15))
             (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
-             g1n) = self._layer_jit[key](
+             g1n, _alpha) = self._layer_jit[key](
                 fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qd, W,
                 cp_pad, hp_pad, wc_pad, logc, nc, logv, logw, fresh)
             outs.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ligero.param import LigeroParam
 from ..ligero.prover import LigeroProver
@@ -41,6 +42,7 @@ class ZkProver:
             subfield_bytes=F.kSubFieldBytes, field_bytes=F.kBytes)
         self.lqc = setup_lqc(circ, self.n_witness)
         self.pad: Optional[Proof] = None
+        self._fused_stat = None
         self.witness: Optional[List] = None
         self.lp: Optional[LigeroProver] = None
         self.sumcheck = DeviceSumcheckProver(F)
@@ -56,7 +58,21 @@ class ZkProver:
                                  self.lqc, rng)
 
     def prove(self, zkp: ZkProof, W_host: List, ts) -> bool:
-        """(zk_prover.h:102-149)."""
+        """(zk_prover.h:102-149).
+
+        When the circuit fits the fused compile budget (and has no copy
+        axis), the ENTIRE post-commit prove — circuit evaluation,
+        sumcheck, verifier-constraint build, and the Ligero response
+        phase — runs as ONE device program with one fetch (zk/fused.py);
+        proof bytes are bit-identical to the multi-program flow below."""
+        c = self.circ
+        if (c.logc == 0
+                and c.nterms() <= self.sumcheck.K_FUSE_TERM_LIMIT
+                and type(self.F).__name__ != "Fp2"):
+            return self._prove_fused(zkp, W_host, ts)
+        return self._prove_phased(zkp, W_host, ts)
+
+    def _prove_phased(self, zkp: ZkProof, W_host: List, ts) -> bool:
         c, F = self.circ, self.F
         assert self.lp is not None, "must run commit before prove"
         initialize_sumcheck_fiat_shamir(ts, c, W_host, F)
@@ -112,3 +128,83 @@ class ZkProver:
                 self.witness.append(r)
             self.witness.append(F.mul_i(lp.wc[0], lp.wc[1]))
             self.pad.layers.append(lp)
+
+    def _prove_fused(self, zkp: ZkProof, W_host: List, ts) -> bool:
+        """One-program prove (zk/fused.py): launch once, fetch once."""
+        import jax
+
+        from ..ligero.param import LigeroProof
+        from ..ligero.transcript import gen_idx
+        from ..random_oracle import device_fs as dfs
+        from .fused import (
+            FusedStatic,
+            fused_out_template,
+            fused_prove_fn,
+            unpack_tree,
+        )
+
+        c, F, sc = self.circ, self.F, self.sumcheck
+        p = self.param
+        assert self.lp is not None, "must run commit before prove"
+        initialize_sumcheck_fiat_shamir(ts, c, W_host, F)
+
+        W0 = jnp.asarray(F.to_limbs(W_host)).reshape(F.L, c.ninputs, 1)
+        logc, nc = c.logc, c.nc
+        logv = c.logv
+        layer_meta, qds, pads, nvs = [], [], [], []
+        for ly in range(c.nl):
+            layer = c.layers[ly]
+            nvs.append(c.layers[ly - 1].nw if ly > 0 else c.nv)
+            qds.append(sc._quad_dev_eval(layer.quad, nvs[-1]))
+            pads.append(sc._pads_dev(
+                self.pad.layers[ly] if self.pad else None, logc, layer.logw))
+            layer_meta.append((logv, layer.logw))
+            logv = layer.logw
+        metas = ((logc, nc), tuple(layer_meta))
+        nvs = tuple(nvs)
+
+        if self._fused_stat is None:
+            self._fused_stat = FusedStatic(c, p, self.lqc, self.n_witness)
+        stat = self._fused_stat
+
+        fs = dfs.fs_init_from_host(ts)
+        claims = jnp.zeros((F.L, 2), jnp.uint32)
+        key = ("zkfused", F.name, metas, nvs,
+               tuple(q["h0"].shape[0] for q in qds), W0.shape,
+               self.lp.tableau_dev.shape, p.block_enc, p.nreq)
+        if key not in sc._layer_jit:
+            def fn(fs, claims, W0, qds, pads, tableau):
+                return fused_prove_fn(sc, self.lp, stat, metas, nvs,
+                                      fs, claims, W0, qds, pads, tableau)
+
+            sc._layer_jit[key] = jax.jit(fn)
+        packed = np.asarray(sc._layer_jit[key](
+            fs, claims, W0, qds, pads, self.lp.tableau_dev))
+        tree = unpack_tree(packed, fused_out_template(F, metas, p, p.nrow))
+        if not bool(np.asarray(tree["evalok"]).all()):
+            return False
+        assert bool(tree["okq"]), "W part of y_quad is nonzero"
+
+        proof, _aux, _ = sc._assemble(c, self.pad, False, tree["fs"],
+                                      tree["outs"], ts)
+        zkp.proof = proof
+
+        # --- Ligero proof assembly (host scalars from the one fetch) ---
+        lproof = LigeroProof()
+        lproof.y_ldt = list(F.from_limbs(tree["y_ldt"]))
+        lproof.y_dot = list(F.from_limbs(tree["y_dot"]))
+        yq = F.from_limbs(tree["y_quad"])
+        lproof.y_quad_0 = list(yq[: p.r])
+        lproof.y_quad_2 = list(yq[p.block : p.dblock])
+        # host transcript replay of the column choose doubles as a
+        # cross-check of the on-device Fiat-Shamir stream
+        idx = gen_idx(p, ts, F)
+        assert idx == [int(i) for i in tree["idx"]], \
+            "device/host column-open indices diverge"
+        colv = F.from_limbs(tree["cols"])  # [nrow, nreq]
+        lproof.req = [list(colv[i]) for i in range(p.nrow)]
+        path, nonces = self.lp.mc.open(idx)
+        lproof.merkle_path = path
+        lproof.merkle_nonce = nonces
+        zkp.com_proof = lproof
+        return True
