@@ -42,9 +42,19 @@ from .transcript import (
 
 
 # Global jit cache: traces are expensive and provers are constructed per
-# proof; programs are pure functions of (field, geometry) so they are
-# shared across instances.
+# proof; programs are pure functions of (field, FULL Ligero layout, RS
+# factory) so they are shared across instances.  The traced bodies close
+# over self.p (row indices, r/w split) and self.rs_factory (omega), so
+# every cache key must carry a complete fingerprint of both — shapes
+# alone are NOT sufficient (two layouts with equal tableau shapes but
+# different nreq slice y_quad differently).
 _JIT_CACHE = {}
+
+
+def param_fingerprint(p: LigeroParam) -> tuple:
+    return (p.nw, p.nq, p.rateinv, p.nreq, p.block, p.dblock, p.block_enc,
+            p.block_ext, p.r, p.w, p.nwrow, p.nqtriples, p.nrow,
+            p.ildt, p.idot, p.iquad, p.iw, p.iq)
 
 
 class LigeroProver:
@@ -56,13 +66,21 @@ class LigeroProver:
         self.rs_factory = rs_factory
         self.mc = MerkleCommitment(p.block_ext)
         self.tableau_dev = None  # device limbs [L.., nrow, block_enc]
+        # cache identity: full layout + RS factory identity (factories
+        # built by zk.testing.rs_factory_for carry a content fingerprint;
+        # ad-hoc factories fall back to object identity)
+        self.fp = (F.name, param_fingerprint(p),
+                   getattr(rs_factory, "fingerprint", None) or
+                   ("id", id(rs_factory)))
 
     # ------------------------------------------------------------------
 
-    def commit(self, ts, W_host: Sequence, subfield_boundary: int, lqc,
-               rng) -> LigeroCommitment:
-        """Build+encode the tableau, Merkle-commit columns
-        (ligero_prover.h:58-79)."""
+    def _commit_prep(self, W_host: Sequence, subfield_boundary: int, lqc,
+                     rng):
+        """Host-side tableau-row construction (witness blocks, blinding
+        rows, quadratic triples, nonces): everything the device commit
+        program needs, as numpy arrays — shared by the single-proof
+        commit and the batched prover (zk/batch.py)."""
         p, F = self.p, self.F
         for i in range(subfield_boundary):
             assert F.in_subfield(W_host[i]), "element not in subfield"
@@ -120,27 +138,35 @@ class LigeroProver:
         for j in range(p.w):
             iquad[p.r + j] = zero
 
-        # --- device RS encode, batched per width group, one jitted
-        # program (encode + tableau assembly + natural-form conversion) ---
         lead = (8,) if F.kCharacteristicTwo else \
             ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
         nbr = len(block_rows)
         flatb = [v for row in block_rows for v in row]
-        arr_b = jnp.asarray(F.to_limbs(flatb)).reshape(lead + (nbr, p.block))
+        arr_b = np.asarray(F.to_limbs(flatb)).reshape(lead + (nbr, p.block))
         flatd = idot + iquad
-        arr_d = jnp.asarray(F.to_limbs(flatd)).reshape(lead + (2, p.dblock))
+        arr_d = np.asarray(F.to_limbs(flatd)).reshape(lead + (2, p.dblock))
 
         nonces = [rng.bytes(NONCE_LEN) for _ in range(p.block_ext)]
         nonce_arr = np.frombuffer(b"".join(nonces), dtype=np.uint8).reshape(
             p.block_ext, NONCE_LEN)
+        return arr_b, arr_d, nonces, nonce_arr
+
+    def commit(self, ts, W_host: Sequence, subfield_boundary: int, lqc,
+               rng) -> LigeroCommitment:
+        """Build+encode the tableau, Merkle-commit columns
+        (ligero_prover.h:58-79)."""
+        p, F = self.p, self.F
+        arr_b, arr_d, nonces, nonce_arr = self._commit_prep(
+            W_host, subfield_boundary, lqc, rng)
+        arr_b = jnp.asarray(arr_b)
+        arr_d = jnp.asarray(arr_d)
 
         # One device program: RS encode + tableau + natural serialization
         # + per-column leaf hashing + Merkle tree reduce.  Only the leaf
         # digests and the root cross the host boundary (the tableau
         # stays device-resident for prove); the host rebuilds the tree
         # from the leaves for proof opening.
-        key = ("commitf", F.name, arr_b.shape, arr_d.shape, p.block_enc,
-               p.dblock)
+        key = ("commitf", self.fp, arr_b.shape, arr_d.shape)
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = jax.jit(self._commit_full_fn)
         tableau, leaves_dev, root_dev = _JIT_CACHE[key](
@@ -264,8 +290,8 @@ class LigeroProver:
             lead + (p.nwqrow, p.block))
         u_quad_d = jnp.asarray(F.to_limbs(u_quad))
 
-        key = ("resp", F.name, self.tableau_dev.shape, A_d.shape,
-               u_ldt_d.shape, u_quad_d.shape, p.block, p.dblock)
+        key = ("resp", self.fp, self.tableau_dev.shape, A_d.shape,
+               u_ldt_d.shape, u_quad_d.shape)
         if key not in _JIT_CACHE:
             _JIT_CACHE[key] = jax.jit(self._responses_fn)
         flat = _JIT_CACHE[key](self.tableau_dev, u_ldt_d, A_d, u_quad_d)
@@ -295,7 +321,7 @@ class LigeroProver:
         # column openings: device gather + one fetch
         idx = gen_idx(p, ts, F)
         idx_d = jnp.asarray(np.asarray(idx, np.int32) + p.dblock)
-        gkey = ("cols", F.name, self.tableau_dev.shape, len(idx))
+        gkey = ("cols", self.fp, self.tableau_dev.shape, len(idx))
         if gkey not in _JIT_CACHE:
             ax = self.tableau_dev.ndim - 1
             _JIT_CACHE[gkey] = jax.jit(

@@ -261,6 +261,18 @@ def _bytes_to_limbs(F, b: jax.Array) -> jax.Array:
     return bb[0::2].astype(_U32) | (bb[1::2].astype(_U32) << 8)
 
 
+def _prf_keep(keep, prf_old: dict, prf_new: dict) -> dict:
+    """Per-leaf select: where `keep` (bool, possibly batched), retain the
+    old PRF state."""
+
+    def sel(o, n):
+        k = keep.reshape(keep.shape + (1,) * (o.ndim - keep.ndim)) \
+            if getattr(keep, "ndim", 0) and o.ndim > keep.ndim else keep
+        return jnp.where(k, o, n)
+
+    return jax.tree_util.tree_map(sel, prf_old, prf_new)
+
+
 def dev_sample_elt(F, prf: dict) -> Tuple[jax.Array, dict]:
     """Draw one field element with rejection sampling, byte-exact vs the
     host Field.sample (fp.py / gf2.py)."""
@@ -291,9 +303,12 @@ def dev_sample_elt(F, prf: dict) -> Tuple[jax.Array, dict]:
     def body(c):
         limbs_old, ok_old, prf_old = c
         limbs, ok, prf = attempt(prf_old)
-        # keep already-accepted lanes (vmap-safe: under vmap the loop
-        # runs until every lane accepts)
-        return (jnp.where(ok_old, limbs_old, limbs), ok_old | ok, prf)
+        # keep already-accepted lanes' VALUES and PRF STATE (vmap-safe:
+        # under vmap the loop runs until every lane accepts, and an
+        # accepted lane's byte stream must not advance — the host
+        # transcript it twins consumed nothing further)
+        return (jnp.where(ok_old, limbs_old, limbs), ok_old | ok,
+                _prf_keep(ok_old, prf_old, prf))
 
     limbs, _, prf = jax.lax.while_loop(cond, body, (limbs0, ok0, prf0))
     # natural -> Montgomery (mul by R2)
@@ -351,8 +366,11 @@ def dev_nat(prf: dict, n: int) -> Tuple[jax.Array, dict]:
         return ~(c[0] < np.uint32(n))
 
     def body(c):
-        _, prf_old = c
-        return draw(prf_old)
+        r_old, prf_old = c
+        ok_old = r_old < np.uint32(n)
+        r, prf = draw(prf_old)
+        return (jnp.where(ok_old, r_old, r),
+                _prf_keep(ok_old, prf_old, prf))
 
     r, prf = jax.lax.while_loop(cond, body, (r0, prf0))
     return r, prf

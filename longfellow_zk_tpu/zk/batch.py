@@ -1,0 +1,183 @@
+"""Batched ZK proving: many proofs of the SAME circuit per launch.
+
+The TPU's throughput story: a single proof is latency-bound (hundreds of
+small sequential rounds), but every stage of the one-program prove
+(zk/fused.py) is shape-uniform across proofs of one circuit, so the
+whole pipeline vmaps over a proof axis:
+
+  launch 1: B commits   (RS encode + tableau + column hash + merkle)
+  launch 2: B full proves (eval + sumcheck + constraints + Ligero)
+
+Per-proof Fiat-Shamir streams stay byte-exact twins of the host
+transcripts (the rejection samplers guard accepted lanes' PRF state, so
+each lane's byte stream is identical to its scalar run).
+
+Use one `BatchZkProver` per circuit; `prove_batch` returns one
+serialized proof per witness, each bit-identical to what the scalar
+ZkProver would have produced with the same transcript tag and
+randomness stream (tests/test_zk_batch.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ligero.param import LigeroCommitment, LigeroParam, LigeroProof
+from ..ligero.prover import LigeroProver
+from ..ligero.transcript import gen_idx, write_commitment
+from ..random_oracle import device_fs as dfs
+from ..sumcheck.circuit import Circuit
+from .common import initialize_sumcheck_fiat_shamir, pad_size, setup_lqc
+from .fused import (
+    FusedStatic,
+    fused_out_template,
+    fused_prove_fn,
+    unpack_tree,
+)
+from .proof import ZkProof
+from .prover import ZkProver
+from .serialization import write_zk_proof
+
+_JIT = {}
+
+
+def _stack(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+class BatchZkProver:
+    """Proves batches of witnesses for one circuit (same shapes, same
+    Ligero parameters — the serving configuration)."""
+
+    def __init__(self, circ: Circuit, F, rs_factory, rate: int, nreq: int):
+        self.circ = circ
+        self.F = F
+        self.rate = rate
+        self.nreq = nreq
+        self.rs_factory = rs_factory
+        # a template scalar prover provides param/lqc/static data
+        self.proto = ZkProver(circ, F, rs_factory, rate=rate, nreq=nreq)
+        self.param: LigeroParam = self.proto.param
+        self.lqc = self.proto.lqc
+        self.stat = FusedStatic(circ, self.param, self.lqc,
+                                self.proto.n_witness)
+
+    def prove_batch(self, W_list: Sequence[List], ts_list, rng) -> List[bytes]:
+        """W_list: B witness vectors; ts_list: B independent transcripts
+        (already initialized with their tags).  Returns B serialized
+        proofs.  Raises on any unsatisfied witness."""
+        c, F, p = self.circ, self.F, self.param
+        B = len(W_list)
+        assert B == len(ts_list)
+        sc = self.proto.sumcheck
+
+        # ---- per-proof host prep ------------------------------------
+        provers = []
+        commit_in = []
+        for W in W_list:
+            pr = ZkProver(c, F, self.rs_factory, rate=self.rate,
+                          nreq=self.nreq)
+            pr.witness = list(W[c.npub_in : c.ninputs])
+            pr._fill_pad(rng)
+            pr.lp = LigeroProver(p, F, self.rs_factory)
+            sb = max(0, c.subfield_boundary - c.npub_in)
+            arr_b, arr_d, nonces, nonce_arr = pr.lp._commit_prep(
+                pr.witness, sb, self.lqc, rng)
+            provers.append(pr)
+            commit_in.append((arr_b, arr_d, nonces, nonce_arr))
+
+        # ---- launch 1: batched commit --------------------------------
+        arr_b = jnp.asarray(np.stack([x[0] for x in commit_in]))
+        arr_d = jnp.asarray(np.stack([x[1] for x in commit_in]))
+        nonce = jnp.asarray(np.stack([x[3] for x in commit_in]))
+        ckey = ("bcommit", F.name, arr_b.shape, arr_d.shape, p.block_enc,
+                p.dblock)
+        if ckey not in _JIT:
+            _JIT[ckey] = jax.jit(jax.vmap(
+                provers[0].lp._commit_full_fn))
+        tableau, leaves_dev, roots_dev = _JIT[ckey](arr_b, arr_d, nonce)
+        leaves_np = np.asarray(leaves_dev)
+        roots_np = np.asarray(roots_dev)
+
+        zkps = []
+        for i, pr in enumerate(provers):
+            leaves = [leaves_np[i, j].tobytes()
+                      for j in range(p.block_ext)]
+            root = pr.lp.mc.commit_leaves(leaves, commit_in[i][2])
+            assert root == roots_np[i].tobytes()
+            zkp = ZkProof(rate=self.rate, nreq=self.nreq)
+            zkp.com = LigeroCommitment(root=root)
+            write_commitment(zkp.com, ts_list[i])
+            initialize_sumcheck_fiat_shamir(ts_list[i], c, W_list[i], F)
+            zkps.append(zkp)
+
+        # ---- launch 2: batched fused prove ---------------------------
+        logc, nc = c.logc, c.nc
+        logv = c.logv
+        layer_meta, qds, nvs = [], [], []
+        for ly in range(c.nl):
+            layer = c.layers[ly]
+            nvs.append(c.layers[ly - 1].nw if ly > 0 else c.nv)
+            qds.append(sc._quad_dev_eval(layer.quad, nvs[-1]))
+            layer_meta.append((logv, layer.logw))
+            logv = layer.logw
+        metas = ((logc, nc), tuple(layer_meta))
+        nvs = tuple(nvs)
+
+        pads_b = _stack([
+            [sc._pads_dev(pr.pad.layers[ly], logc, c.layers[ly].logw)
+             for ly in range(c.nl)]
+            for pr in provers])
+        fs_b = _stack([dfs.fs_init_from_host(ts) for ts in ts_list])
+        W0_b = jnp.asarray(np.stack([
+            np.asarray(F.to_limbs(W)).reshape(F.L, c.ninputs, 1)
+            for W in W_list]))
+        claims_b = jnp.zeros((B, F.L, 2), jnp.uint32)
+
+        stat = self.stat
+        lp0 = provers[0].lp
+        pkey = ("bprove", F.name, metas, nvs, B,
+                tuple(q["h0"].shape[0] for q in qds), W0_b.shape,
+                p.block_enc, p.nreq)
+        if pkey not in _JIT:
+            def fn(fs, claims, W0, pads, tableau, qds):
+                return fused_prove_fn(sc, lp0, stat, metas, nvs,
+                                      fs, claims, W0, qds, pads, tableau)
+
+            _JIT[pkey] = jax.jit(jax.vmap(
+                fn, in_axes=(0, 0, 0, 0, 0, None)))
+        packed = np.asarray(_JIT[pkey](
+            fs_b, claims_b, W0_b, pads_b, tableau, qds))
+
+        # ---- per-proof host assembly ---------------------------------
+        out = []
+        template = fused_out_template(F, metas, p, p.nrow)
+        for i, pr in enumerate(provers):
+            tree = unpack_tree(packed[i], template)
+            assert bool(np.asarray(tree["evalok"]).all()), \
+                f"witness {i} does not satisfy the circuit"
+            assert bool(tree["okq"])
+            proof, _aux, _ = sc._assemble(c, pr.pad, False, tree["fs"],
+                                          tree["outs"], ts_list[i])
+            zkps[i].proof = proof
+            lproof = LigeroProof()
+            lproof.y_ldt = list(F.from_limbs(tree["y_ldt"]))
+            lproof.y_dot = list(F.from_limbs(tree["y_dot"]))
+            yq = F.from_limbs(tree["y_quad"])
+            lproof.y_quad_0 = list(yq[: p.r])
+            lproof.y_quad_2 = list(yq[p.block : p.dblock])
+            idx = gen_idx(p, ts_list[i], F)
+            assert idx == [int(v) for v in tree["idx"]], \
+                "device/host column-open indices diverge"
+            colv = F.from_limbs(tree["cols"])
+            lproof.req = [list(colv[r]) for r in range(p.nrow)]
+            path, nonces = pr.lp.mc.open(idx)
+            lproof.merkle_path = path
+            lproof.merkle_nonce = nonces
+            zkps[i].com_proof = lproof
+            out.append(write_zk_proof(zkps[i], c, p, F))
+        return out

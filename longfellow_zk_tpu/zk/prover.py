@@ -169,9 +169,9 @@ class ZkProver:
 
         fs = dfs.fs_init_from_host(ts)
         claims = jnp.zeros((F.L, 2), jnp.uint32)
-        key = ("zkfused", F.name, metas, nvs,
+        key = ("zkfused", self.lp.fp, metas, nvs,
                tuple(q["h0"].shape[0] for q in qds), W0.shape,
-               self.lp.tableau_dev.shape, p.block_enc, p.nreq)
+               self.lp.tableau_dev.shape)
         if key not in sc._layer_jit:
             def fn(fs, claims, W0, qds, pads, tableau):
                 return fused_prove_fn(sc, self.lp, stat, metas, nvs,

@@ -39,6 +39,8 @@ def rs_factory_for(F, omega=None, omega_order: int = None, F2=None,
             if (n, m) not in cache:
                 cache[(n, m)] = LCH14ReedSolomon(n, m, F)
             return cache[(n, m)]
+
+        factory.fingerprint = ("lch14", F.name)
     elif F2 is not None:
         conv = make_fft_ext_convolution_factory(F, F2, omega2, omega_order)
 
@@ -46,6 +48,8 @@ def rs_factory_for(F, omega=None, omega_order: int = None, F2=None,
             if (n, m) not in cache:
                 cache[(n, m)] = ReedSolomon(n, m, F, conv)
             return cache[(n, m)]
+
+        factory.fingerprint = ("fftext", F.name, omega2, omega_order)
     else:
         conv = make_fft_convolution_factory(F, omega, omega_order)
 
@@ -53,6 +57,8 @@ def rs_factory_for(F, omega=None, omega_order: int = None, F2=None,
             if (n, m) not in cache:
                 cache[(n, m)] = ReedSolomon(n, m, F, conv)
             return cache[(n, m)]
+
+        factory.fingerprint = ("fft", F.name, omega, omega_order)
     return factory
 
 
