@@ -1,31 +1,34 @@
 #!/usr/bin/env python
-"""Headline benchmark: full 1-block ZK-SHA256 proof (commit + sumcheck +
-Ligero), the reference's BM_ShaZK_fp2_128/1 (5.30 ms single-threaded
-Mac M4, docs/content/en/docs/benchmarks.md:55; see BASELINE.md).
+"""Headline benchmark suite.  Prints ONE JSON line:
 
-Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, "extra": {...}}
 
-vs_baseline is the speedup factor (reference_time / our_time).
+Headline: the full mdoc anonymous-credential prove (the reference's
+BM_MdocProver, mdoc_zk_test.cc:658-721) on the TPU vs the reference C++
+measured on THIS machine (BASELINE.md: 2398.6 ms prover / 959.5 ms
+verifier, v7 1-attribute shipped circuit).  Extras: 1-block ZK-SHA256
+latency + batched throughput (BM_ShaZK_fp2_128/1 = 5.30 ms) and the
+Fp128 2^20 NTT (BM_FFT_Fp128/1048576 = 57.06 ms).
 
-The prove is measured steady-state (programs compiled once per circuit
-shape and persisted in the XLA compilation cache).  A secondary metric
-in "extra" reports the Fp128 2^20 NTT vs the 57.06 ms reference FFT when
-the time budget allows.
+Every phase runs in its own child process: the TPU tunnel is
+single-tenant (two concurrent holders deadlock), and a child that dies
+on a compile timeout must not take the whole bench with it.  Programs
+persist in .jax_cache, so steady-state numbers survive across runs.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
-from longfellow_zk_tpu.utils.cache import enable_compilation_cache
-enable_compilation_cache()
-
-ZK_SHA_BASELINE_MS = 5.30    # BM_ShaZK_fp2_128/1
-FFT_BASELINE_MS = 57.06      # BM_FFT_Fp128/1048576
+MDOC_PROVER_BASELINE_MS = 2398.6   # local BM_MdocProver (BASELINE.md)
+ZK_SHA_BASELINE_MS = 5.30          # BM_ShaZK_fp2_128/1 (Mac M4)
+FFT_BASELINE_MS = 57.06            # BM_FFT_Fp128/1048576 (Mac M4)
+ECDSA_BASELINE_MS = 16.71          # BM_ECDSAZKProver/1 (Mac M4)
 BUDGET_S = int(os.environ.get("BENCH_BUDGET", "2700"))
 _T0 = time.time()
 
@@ -34,9 +37,50 @@ def _left() -> float:
     return BUDGET_S - (time.time() - _T0)
 
 
-def bench_zk_sha() -> float:
-    """Returns steady-state ms for one full ZK proof of the 1-block
-    SHA-256 transform circuit (267k terms, 10 layers)."""
+# ---------------------------------------------------------------------------
+# phases (each runs in a child process; prints "RESULT <json>")
+# ---------------------------------------------------------------------------
+
+def phase_mdoc() -> dict:
+    from longfellow_zk_tpu.circuits.mdoc import api
+    from longfellow_zk_tpu.circuits.mdoc.witness import RequestedAttribute
+    from longfellow_zk_tpu.circuits.mdoc.zk_spec import find_zk_spec_by_version
+    from longfellow_zk_tpu.random_oracle.engine import SecureRandomEngine
+
+    spec = find_zk_spec_by_version(7, 1)
+    path = os.path.join("/root/reference/lib/circuits/mdoc/circuits",
+                        spec.circuit_hash)
+    circuit_bytes = open(path, "rb").read()
+    ex = json.load(open(os.path.join(REPO, "artifacts",
+                                     "mdoc_examples.json")))[0]
+    mdoc, tr = bytes.fromhex(ex["mdoc"]), bytes.fromhex(ex["transcript"])
+    pkx, pky = int(ex["pkx"], 16), int(ex["pky"], 16)
+    now = ex["now"].encode()
+    attrs = [RequestedAttribute(id=b"age_over_18", cbor_value=b"\xf5")]
+
+    def one():
+        return api.run_mdoc_prover(circuit_bytes, mdoc, pkx, pky, tr, attrs,
+                                   now, spec, rng=SecureRandomEngine())
+
+    one()  # warm-up: compiles + circuit parse/upload
+    iters = 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        proof = one()
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    out = {"mdoc_prover_ms": round(ms, 1), "mdoc_proof_bytes": len(proof)}
+    ok = api.run_mdoc_verifier(circuit_bytes, pkx, pky, tr, attrs, now,
+                               proof, b"org.iso.18013.5.1.mDL", spec)
+    assert ok
+    t0 = time.perf_counter()
+    ok = api.run_mdoc_verifier(circuit_bytes, pkx, pky, tr, attrs, now,
+                               proof, b"org.iso.18013.5.1.mDL", spec)
+    assert ok
+    out["mdoc_verifier_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
+    return out
+
+
+def _sha_setup():
     import gzip
 
     from longfellow_zk_tpu.circuits.sha.sha256 import (
@@ -44,58 +88,87 @@ def bench_zk_sha() -> float:
     from longfellow_zk_tpu.fields.fp_instances import (
         fp128, P128_OMEGA, P128_OMEGA_ORDER)
     from longfellow_zk_tpu.proto.lfc1 import FP128_ID, read_circuit
+    from longfellow_zk_tpu.zk.testing import rs_factory_for
+
+    F = fp128()
+    path = os.path.join(REPO, "artifacts", "sha256_1block_fp128.lfc1.gz")
+    circ = read_circuit(F, FP128_ID, gzip.open(path, "rb").read())
+
+    def witness(msg):
+        padded = sha256_pad(msg)
+        bw = transform_block_witness(SHA256_INIT, padded)
+        W = [F.of_scalar(1)]
+        for byte in padded:
+            for i in range(8):
+                W.append(F.of_scalar((byte >> i) & 1))
+        W.extend(pack_block_witness(F, 4, [bw]))
+        return W
+
+    return F, circ, rs_factory_for(F, P128_OMEGA, P128_OMEGA_ORDER), witness
+
+
+def phase_sha() -> dict:
     from longfellow_zk_tpu.random_oracle.engine import SecureRandomEngine
     from longfellow_zk_tpu.random_oracle.transcript import Transcript
     from longfellow_zk_tpu.zk.proof import ZkProof
     from longfellow_zk_tpu.zk.prover import ZkProver
-    from longfellow_zk_tpu.zk.testing import rs_factory_for, K_VERSION
+    from longfellow_zk_tpu.zk.testing import K_VERSION
 
-    F = fp128()
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "artifacts", "sha256_1block_fp128.lfc1.gz")
-    circ = read_circuit(F, FP128_ID, gzip.open(path, "rb").read())
-
-    padded = sha256_pad(b"abc")
-    bw = transform_block_witness(SHA256_INIT, padded)
-    W = [F.of_scalar(1)]
-    for byte in padded:
-        for i in range(8):
-            W.append(F.of_scalar((byte >> i) & 1))
-    W.extend(pack_block_witness(F, 4, [bw]))
-
-    rs_factory = rs_factory_for(F, P128_OMEGA, P128_OMEGA_ORDER)
+    F, circ, rs_factory, witness = _sha_setup()
+    W = witness(b"abc")
 
     def one_proof():
         zkp = ZkProof(rate=4, nreq=128)
         prover = ZkProver(circ, F, rs_factory, rate=4, nreq=128)
         tp = Transcript(b"bench", version=K_VERSION)
         prover.commit(zkp, W, tp, SecureRandomEngine())
-        ok = prover.prove(zkp, W, tp)
-        assert ok
-        return zkp
+        assert prover.prove(zkp, W, tp)
 
-    one_proof()  # warm-up: compiles every layer program once
-    iters = 3 if _left() > 120 else 1
+    one_proof()
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         one_proof()
-    return (time.perf_counter() - t0) / iters * 1000.0
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+    return {"zk_sha256_1block_prove_ms": round(ms, 3)}
 
 
-def bench_fft(matmul: bool = False) -> float:
+def phase_sha_batch() -> dict:
+    from longfellow_zk_tpu.random_oracle.engine import SecureRandomEngine
+    from longfellow_zk_tpu.random_oracle.transcript import Transcript
+    from longfellow_zk_tpu.zk.batch import BatchZkProver
+    from longfellow_zk_tpu.zk.testing import K_VERSION
+
+    B = int(os.environ.get("BENCH_B", "8"))
+    F, circ, rs_factory, witness = _sha_setup()
+    W_list = [witness(b"msg%04d" % i) for i in range(B)]
+    bp = BatchZkProver(circ, F, rs_factory, rate=4, nreq=128)
+
+    def tags():
+        return [Transcript(b"bench%d" % i, version=K_VERSION)
+                for i in range(B)]
+
+    bp.prove_batch(W_list, tags(), SecureRandomEngine())
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        bp.prove_batch(W_list, tags(), SecureRandomEngine())
+    dt = (time.perf_counter() - t0) / iters
+    return {"zk_sha256_batch%d_per_proof_ms" % B: round(dt / B * 1000, 3),
+            "zk_sha256_batch%d_proofs_per_s" % B: round(B / dt, 2)}
+
+
+def phase_fft() -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from longfellow_zk_tpu.fields.fp_instances import (
         fp128, P128_OMEGA, P128_OMEGA_ORDER)
-    if matmul:
-        from longfellow_zk_tpu.transforms.matmul_ntt import MatmulNTT as NTT
-    else:
-        from longfellow_zk_tpu.transforms.ntt import NTT
+    from longfellow_zk_tpu.transforms.matmul_ntt import MatmulNTT
 
     F = fp128()
-    ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
+    ntt = MatmulNTT(F, P128_OMEGA, P128_OMEGA_ORDER)
     rng = np.random.default_rng(0)
     limbs = rng.integers(0, 1 << 16, size=(F.L, 1 << 20), dtype=np.uint32)
     limbs[F.L - 1] &= 0x7FFF
@@ -107,61 +180,138 @@ def bench_fft(matmul: bool = False) -> float:
     for _ in range(3):
         y = fftb(x)
     np.asarray(y[0, :1])
-    return (time.perf_counter() - t0) / 3 * 1000.0
+    return {"fft_fp128_2e20_ms": round(
+        (time.perf_counter() - t0) / 3 * 1000.0, 3)}
+
+
+def phase_ecdsa() -> dict:
+    """BM_ECDSAZKProver/1 twin (verify_signature3 full ZK prove;
+    ref 16.71 ms Mac M4)."""
+    import gzip
+    import random
+
+    from longfellow_zk_tpu.circuits.ecdsa.verify import compute_witness
+    from longfellow_zk_tpu.ec.curves import ecdsa_sign, p256_curve
+    from longfellow_zk_tpu.fields.fp_instances import (
+        P256_FP2_ROOT_ORDER, P256_FP2_ROOT_X, P256_FP2_ROOT_Y, p256_base)
+    from longfellow_zk_tpu.fields.fp2 import Fp2
+    from longfellow_zk_tpu.proto.lfc1 import P256_ID, read_circuit
+    from longfellow_zk_tpu.random_oracle.engine import SecureRandomEngine
+    from longfellow_zk_tpu.random_oracle.transcript import Transcript
+    from longfellow_zk_tpu.zk.proof import ZkProof
+    from longfellow_zk_tpu.zk.prover import ZkProver
+    from longfellow_zk_tpu.zk.testing import rs_factory_for, K_VERSION
+
+    F = p256_base()
+    ec = p256_curve()
+    path = os.path.join(REPO, "artifacts", "ecdsa_p256.lfc1.gz")
+    circ = read_circuit(F, P256_ID, gzip.open(path, "rb").read())
+    rng = random.Random(1234)
+    d = rng.randrange(1, ec.order)
+    pk = ec.normalize(ec.scalar_mult(ec.generator(), d))
+    e = rng.randrange(1, ec.order)
+    r, s = ecdsa_sign(ec, d, e, rng.randrange(1, ec.order))
+    vw = compute_witness(ec, pk.x, pk.y, e, r, s)
+    W = [F.of_scalar(1), pk.x, pk.y, e % F.p]
+    W.extend(vw.fill())
+    rs = rs_factory_for(F, F2=Fp2(F),
+                        omega2=(P256_FP2_ROOT_X, P256_FP2_ROOT_Y),
+                        omega_order=P256_FP2_ROOT_ORDER)
+
+    def one_proof():
+        zkp = ZkProof(rate=4, nreq=128)
+        prover = ZkProver(circ, F, rs, rate=4, nreq=128)
+        tp = Transcript(b"bench", version=K_VERSION)
+        prover.commit(zkp, W, tp, SecureRandomEngine())
+        assert prover.prove(zkp, W, tp)
+
+    one_proof()
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_proof()
+    return {"ecdsa_zk_prover_ms": round(
+        (time.perf_counter() - t0) / iters * 1000.0, 3)}
+
+
+PHASES = {"mdoc": phase_mdoc, "sha": phase_sha, "sha_batch": phase_sha_batch,
+          "fft": phase_fft, "ecdsa": phase_ecdsa}
+
+
+def child_main(name: str) -> None:
+    from longfellow_zk_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    res = PHASES[name]()
+    print("RESULT " + json.dumps(res), flush=True)
+
+
+# ---------------------------------------------------------------------------
+# parent orchestration
+# ---------------------------------------------------------------------------
+
+def run_phase(name: str, timeout_s: float) -> dict:
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True, text=True, timeout=timeout_s)
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        tail = (out.stderr or out.stdout or "").strip().splitlines()
+        return {name + "_error": (tail[-1] if tail else "no output")[:160]}
+    except subprocess.TimeoutExpired:
+        return {name + "_error": "timeout %ds" % int(timeout_s)}
+    except Exception as e:  # pragma: no cover
+        return {name + "_error": repr(e)[:160]}
 
 
 def main() -> None:
     extra = {}
-    value = None
+    # order: cheap-and-known first so a long mdoc compile can't starve
+    # the metrics that already have cached programs; budget split below.
+    plan = [("sha", 900), ("sha_batch", 900), ("fft", 600),
+            ("ecdsa", 600), ("mdoc", 2400)]
+    if os.environ.get("BENCH_ONLY"):
+        only = os.environ["BENCH_ONLY"].split(",")
+        plan = [(n, t) for n, t in plan if n in only]
+    for name, cap in plan:
+        budget = min(cap, _left() - 60)
+        if budget < 120:
+            extra[name + "_error"] = "skipped: budget"
+            continue
+        extra.update(run_phase(name, budget))
 
-    # 1) MXU matmul-NTT in a deadline-guarded child process FIRST — the
-    # TPU tunnel is single-tenant, so the child must run before this
-    # process initializes the backend (two holders deadlock); its first
-    # compile through the remote relay can take very long.
-    if _left() > 1500 and os.environ.get("BENCH_SKIP_FFT") != "1":
-        import subprocess
-
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import sys; sys.path.insert(0, %r); import bench; "
-                 "print('FFTMS', bench.bench_fft(matmul=True))"
-                 % os.path.dirname(os.path.abspath(__file__))],
-                capture_output=True, text=True,
-                timeout=min(1500, max(300, _left() - 900)))
-            for line in out.stdout.splitlines():
-                if line.startswith("FFTMS"):
-                    fft_ms = float(line.split()[1])
-                    extra["fft_fp128_2e20_ms"] = round(fft_ms, 3)
-                    extra["fft_vs_baseline"] = round(
-                        FFT_BASELINE_MS / fft_ms, 2)
-        except Exception as e:  # pragma: no cover
-            extra["fft_matmul_error"] = repr(e)[:120]
-
-    # 2) the headline: full ZK-SHA proof
-    try:
-        value = bench_zk_sha()
-    except Exception as e:  # pragma: no cover
-        extra["zk_sha_error"] = repr(e)[:200]
-
-    if value is not None:
+    mdoc_ms = extra.pop("mdoc_prover_ms", None)
+    sha_ms = extra.get("zk_sha256_1block_prove_ms")
+    fft_ms = extra.get("fft_fp128_2e20_ms")
+    if sha_ms:
+        extra["sha_vs_baseline"] = round(ZK_SHA_BASELINE_MS / sha_ms, 3)
+    if fft_ms:
+        extra["fft_vs_baseline"] = round(FFT_BASELINE_MS / fft_ms, 2)
+    ecdsa_ms = extra.get("ecdsa_zk_prover_ms")
+    if ecdsa_ms:
+        extra["ecdsa_vs_baseline"] = round(ECDSA_BASELINE_MS / ecdsa_ms, 3)
+    if mdoc_ms:
         print(json.dumps({
-            "metric": "zk_sha256_1block_prove_ms",
-            "value": round(value, 3),
+            "metric": "mdoc_prover_ms", "value": mdoc_ms, "unit": "ms",
+            "vs_baseline": round(MDOC_PROVER_BASELINE_MS / mdoc_ms, 3),
+            "extra": extra}))
+    elif sha_ms:
+        print(json.dumps({
+            "metric": "zk_sha256_1block_prove_ms", "value": sha_ms,
             "unit": "ms",
-            "vs_baseline": round(ZK_SHA_BASELINE_MS / value, 3),
-            "extra": extra,
-        }))
+            "vs_baseline": round(ZK_SHA_BASELINE_MS / sha_ms, 3),
+            "extra": extra}))
     else:
-        fft_ms = extra.get("fft_fp128_2e20_ms") or bench_fft()
         print(json.dumps({
-            "metric": "fft_fp128_2e20_ms",
-            "value": round(fft_ms, 3),
+            "metric": "fft_fp128_2e20_ms", "value": fft_ms or -1,
             "unit": "ms",
-            "vs_baseline": round(FFT_BASELINE_MS / fft_ms, 2),
-            "extra": extra,
-        }))
+            "vs_baseline": round(FFT_BASELINE_MS / fft_ms, 2) if fft_ms
+            else 0, "extra": extra}))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        child_main(sys.argv[2])
+    else:
+        main()

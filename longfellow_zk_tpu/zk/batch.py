@@ -94,13 +94,18 @@ class BatchZkProver:
         arr_b = jnp.asarray(np.stack([x[0] for x in commit_in]))
         arr_d = jnp.asarray(np.stack([x[1] for x in commit_in]))
         nonce = jnp.asarray(np.stack([x[3] for x in commit_in]))
-        ckey = ("bcommit", F.name, arr_b.shape, arr_d.shape, p.block_enc,
-                p.dblock)
+        ckey = ("bcommit", provers[0].lp.fp, arr_b.shape, arr_d.shape)
         if ckey not in _JIT:
             _JIT[ckey] = jax.jit(jax.vmap(
                 provers[0].lp._commit_full_fn))
+        import os
+        dbg = os.environ.get("LFZK_BATCH_DEBUG") == "1"
+        if dbg:
+            print("batch: commit launch", flush=True)
         tableau, leaves_dev, roots_dev = _JIT[ckey](arr_b, arr_d, nonce)
         leaves_np = np.asarray(leaves_dev)
+        if dbg:
+            print("batch: commit fetched", flush=True)
         roots_np = np.asarray(roots_dev)
 
         zkps = []
@@ -150,8 +155,12 @@ class BatchZkProver:
 
             _JIT[pkey] = jax.jit(jax.vmap(
                 fn, in_axes=(0, 0, 0, 0, 0, None)))
+        if dbg:
+            print("batch: prove launch", flush=True)
         packed = np.asarray(_JIT[pkey](
             fs_b, claims_b, W0_b, pads_b, tableau, qds))
+        if dbg:
+            print("batch: prove fetched", flush=True)
 
         # ---- per-proof host assembly ---------------------------------
         out = []

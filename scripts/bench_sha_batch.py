@@ -57,6 +57,7 @@ def main():
     circ = read_circuit(F, FP128_ID, gzip.open(path, "rb").read())
     rs_factory = rs_factory_for(F, P128_OMEGA, P128_OMEGA_ORDER)
 
+    print("setup done", flush=True)
     W_list = [witness_for_block(F, b"msg%04d" % i) for i in range(B)]
     bp = BatchZkProver(circ, F, rs_factory, rate=4, nreq=128)
 
