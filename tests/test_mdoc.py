@@ -174,3 +174,69 @@ def test_run_mdoc_prover_verifier_e2e():
     ok = api.run_mdoc_verifier(circuit_bytes, pkx, pky, tr, attrs, now,
                                proof, b"org.iso.18013.5.1.mDL", spec)
     assert ok
+
+
+ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "mdoc_v7_1attr.zst")
+
+
+def test_generated_circuit_parses_and_matches_layout():
+    """api.generate_circuit output (artifacts/mdoc_v7_1attr.zst, built by
+    scripts/gen_mdoc_circuit.py) parses through load_circuits with the
+    same wire layout as the reference-shipped v7 1-attribute circuits
+    (mdoc_generate_circuit.cc:53-118 duty)."""
+    data = open(ARTIFACT, "rb").read()
+    c_sig, c_hash = api.load_circuits(data)
+    assert c_sig.ninputs == 3739 and c_sig.npub_in == 900
+    assert c_hash.npub_in == 952
+    assert c_hash.subfield_boundary == c_hash.ninputs - 6
+    cid = api.circuit_id(data)
+    assert len(cid) == 64
+
+
+@pytest.mark.slow
+def test_generated_circuits_satisfied_by_wallet_witness():
+    """Both OUR generated circuits evaluate to zero on the real wallet
+    example witness (the strongest self-consistency check short of the
+    full prove, which test_run_mdoc_prover_verifier_e2e covers for the
+    shipped bytes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from longfellow_zk_tpu.sumcheck.prover_device import DeviceSumcheckProver
+
+    GF, FB = api.GF, api.FB
+    c_sig, c_hash = api.load_circuits(open(ARTIFACT, "rb").read())
+    mdoc, tr, pkx, pky, now = _example()
+    attrs = _attrs()
+    hw = MdocHashWitness(1, GF, 7)
+    hw.compute_witness(mdoc, tr, attrs)
+    sw = MdocSignatureWitness(p256_curve(), FB)
+    sw.compute_witness(pkx, pky, mdoc, tr)
+    rng = DeterministicEngine(b"gencheck")
+    ap = MACReference().sample(6, rng)
+    av = int.from_bytes(rng.bytes(16), "little")
+    macs, _ = api.compute_macs(
+        [hw.e_nat % FB.p, hw.dpkx_nat, hw.dpky_nat], ap, av)
+
+    W_sig = api.fill_sig_public(pkx, pky, sw.e2_nat, macs, av)
+    W_sig.extend(sw.fill_witness(ap))
+    assert len(W_sig) == c_sig.ninputs
+    p = DeviceSumcheckProver(FB)
+    W0 = jnp.asarray(FB.to_limbs(W_sig)).reshape(FB.L, c_sig.ninputs, 1)
+    _, fv = p.eval_circuit(c_sig, W0)
+    assert fv is not None
+    assert all(v == 0 for v in np.ravel(FB.from_limbs(np.asarray(fv))))
+
+    W_hash = api.fill_hash_public(attrs, now, macs, av, 7)
+    for val in (hw.e_nat % FB.p, hw.dpkx_nat, hw.dpky_nat):
+        W_hash.extend(GF.of_scalar((val >> i) & 1) for i in range(256))
+    W_hash.extend(hw.fill_witness())
+    for i in range(3):
+        W_hash.extend(ap[2 * i : 2 * i + 2])
+    assert len(W_hash) == c_hash.ninputs
+    ph = DeviceSumcheckProver(GF)
+    W0h = jnp.asarray(GF.to_limbs(W_hash)).reshape(8, c_hash.ninputs, 1)
+    _, fvh = ph.eval_circuit(c_hash, W0h)
+    assert fvh is not None
+    assert all(v == 0 for v in np.ravel(GF.from_limbs(np.asarray(fvh))))
