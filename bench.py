@@ -1,7 +1,12 @@
 #!/usr/bin/env python
-"""Headline benchmark suite.  Prints ONE JSON line:
+"""Headline benchmark suite.  The LAST stdout line is the result:
 
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N, "extra": {...}}
+
+A checkpoint line is printed after every phase and a SIGALRM deadline
+(BENCH_BUDGET, default 1500 s) flushes the best-so-far line before the
+driver's timeout can kill the process — a cold compile of one phase can
+never erase the other metrics.
 
 Headline: the full mdoc anonymous-credential prove (the reference's
 BM_MdocProver, mdoc_zk_test.cc:658-721) on the TPU vs the reference C++
@@ -18,6 +23,7 @@ persist in .jax_cache, so steady-state numbers survive across runs.
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -29,7 +35,7 @@ MDOC_PROVER_BASELINE_MS = 2398.6   # local BM_MdocProver (BASELINE.md)
 ZK_SHA_BASELINE_MS = 5.30          # BM_ShaZK_fp2_128/1 (Mac M4)
 FFT_BASELINE_MS = 57.06            # BM_FFT_Fp128/1048576 (Mac M4)
 ECDSA_BASELINE_MS = 16.71          # BM_ECDSAZKProver/1 (Mac M4)
-BUDGET_S = int(os.environ.get("BENCH_BUDGET", "2700"))
+BUDGET_S = int(os.environ.get("BENCH_BUDGET", "1500"))
 _T0 = time.time()
 
 
@@ -249,38 +255,37 @@ def child_main(name: str) -> None:
 # parent orchestration
 # ---------------------------------------------------------------------------
 
+_CHILD = [None]
+
+
 def run_phase(name: str, timeout_s: float) -> dict:
     try:
-        out = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
-            capture_output=True, text=True, timeout=timeout_s)
-        for line in out.stdout.splitlines():
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        _CHILD[0] = proc
+        try:
+            out, err = proc.communicate(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.communicate()
+            return {name + "_error": "timeout %ds" % int(timeout_s)}
+        finally:
+            _CHILD[0] = None
+        for line in out.splitlines():
             if line.startswith("RESULT "):
                 return json.loads(line[len("RESULT "):])
-        tail = (out.stderr or out.stdout or "").strip().splitlines()
+        tail = (err or out or "").strip().splitlines()
         return {name + "_error": (tail[-1] if tail else "no output")[:160]}
-    except subprocess.TimeoutExpired:
-        return {name + "_error": "timeout %ds" % int(timeout_s)}
     except Exception as e:  # pragma: no cover
         return {name + "_error": repr(e)[:160]}
 
 
-def main() -> None:
-    extra = {}
-    # order: cheap-and-known first so a long mdoc compile can't starve
-    # the metrics that already have cached programs; budget split below.
-    plan = [("sha", 900), ("sha_batch", 900), ("fft", 600),
-            ("ecdsa", 600), ("mdoc", 2400)]
-    if os.environ.get("BENCH_ONLY"):
-        only = os.environ["BENCH_ONLY"].split(",")
-        plan = [(n, t) for n, t in plan if n in only]
-    for name, cap in plan:
-        budget = min(cap, _left() - 60)
-        if budget < 120:
-            extra[name + "_error"] = "skipped: budget"
-            continue
-        extra.update(run_phase(name, budget))
-
+def emit(extra: dict) -> None:
+    """Print the current best headline line.  Called after EVERY phase
+    (and from the deadline alarm): the driver reads the LAST line, so a
+    kill mid-bench still leaves the latest complete result on stdout."""
+    extra = dict(extra)
     mdoc_ms = extra.pop("mdoc_prover_ms", None)
     sha_ms = extra.get("zk_sha256_1block_prove_ms")
     fft_ms = extra.get("fft_fp128_2e20_ms")
@@ -292,22 +297,53 @@ def main() -> None:
     if ecdsa_ms:
         extra["ecdsa_vs_baseline"] = round(ECDSA_BASELINE_MS / ecdsa_ms, 3)
     if mdoc_ms:
-        print(json.dumps({
-            "metric": "mdoc_prover_ms", "value": mdoc_ms, "unit": "ms",
-            "vs_baseline": round(MDOC_PROVER_BASELINE_MS / mdoc_ms, 3),
-            "extra": extra}))
+        line = {"metric": "mdoc_prover_ms", "value": mdoc_ms, "unit": "ms",
+                "vs_baseline": round(MDOC_PROVER_BASELINE_MS / mdoc_ms, 3),
+                "extra": extra}
     elif sha_ms:
-        print(json.dumps({
-            "metric": "zk_sha256_1block_prove_ms", "value": sha_ms,
-            "unit": "ms",
-            "vs_baseline": round(ZK_SHA_BASELINE_MS / sha_ms, 3),
-            "extra": extra}))
+        line = {"metric": "zk_sha256_1block_prove_ms", "value": sha_ms,
+                "unit": "ms",
+                "vs_baseline": round(ZK_SHA_BASELINE_MS / sha_ms, 3),
+                "extra": extra}
     else:
-        print(json.dumps({
-            "metric": "fft_fp128_2e20_ms", "value": fft_ms or -1,
-            "unit": "ms",
-            "vs_baseline": round(FFT_BASELINE_MS / fft_ms, 2) if fft_ms
-            else 0, "extra": extra}))
+        line = {"metric": "fft_fp128_2e20_ms", "value": fft_ms or -1,
+                "unit": "ms",
+                "vs_baseline": round(FFT_BASELINE_MS / fft_ms, 2) if fft_ms
+                else 0, "extra": extra}
+    print(json.dumps(line), flush=True)
+
+
+def main() -> None:
+    extra = {}
+
+    def on_alarm(signum, frame):  # hard deadline: flush and exit
+        extra["deadline"] = "hit %ds" % BUDGET_S
+        if _CHILD[0] is not None:
+            try:
+                _CHILD[0].kill()
+            except Exception:
+                pass
+        emit(extra)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(max(60, BUDGET_S - 15))
+
+    # order: cheap-and-cached first so a long compile of a later phase
+    # can never erase the metrics that are already warm; emit() after
+    # every phase checkpoints the best-so-far line.
+    plan = [("fft", 420), ("sha", 600), ("sha_batch", 420),
+            ("ecdsa", 420), ("mdoc", 900)]
+    if os.environ.get("BENCH_ONLY"):
+        only = os.environ["BENCH_ONLY"].split(",")
+        plan = [(n, t) for n, t in plan if n in only]
+    for name, cap in plan:
+        budget = min(cap, _left() - 30)
+        if budget < 60:
+            extra[name + "_error"] = "skipped: budget"
+            continue
+        extra.update(run_phase(name, budget))
+        emit(extra)
 
 
 if __name__ == "__main__":
