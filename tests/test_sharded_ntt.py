@@ -18,10 +18,10 @@ from longfellow_zk_tpu.transforms.ntt import NTT
 def test_sharded_ntt_matches_single_device():
     F = fp128()
     mesh = make_mesh(8, 1)
-    snt = ShardedNTT(F, P128_OMEGA, P128_OMEGA_ORDER, mesh, radix=16)
+    snt = ShardedNTT(F, P128_OMEGA, P128_OMEGA_ORDER, mesh, radix=8)
     ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
     rng = random.Random(5)
-    n = 256
+    n = 64
     vals = [rng.randrange(F.p) for _ in range(n)]
     x = jnp.asarray(F.to_limbs(vals))
     got = F.from_limbs(np.asarray(snt.fftb(x)))
