@@ -26,12 +26,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ligero.param import LigeroCommitment, LigeroParam, LigeroProof
+from ..ligero.param import (
+    LigeroCommitment,
+    LigeroParam,
+    LigeroProof,
+    inner_product_vector,
+    layout_Aext,
+)
 from ..ligero.prover import LigeroProver
-from ..ligero.transcript import gen_idx, write_commitment
+from ..ligero.transcript import (
+    gen_alphal,
+    gen_alphaq,
+    gen_idx,
+    gen_uldt,
+    gen_uquad,
+    write_commitment,
+)
 from ..random_oracle import device_fs as dfs
 from ..sumcheck.circuit import Circuit
-from .common import initialize_sumcheck_fiat_shamir, pad_size, setup_lqc
+from .common import (
+    HASH_OF_A,
+    initialize_sumcheck_fiat_shamir,
+    pad_size,
+    setup_lqc,
+    verifier_constraints,
+)
 from .fused import (
     FusedStatic,
     fused_out_template,
@@ -120,6 +139,13 @@ class BatchZkProver:
             initialize_sumcheck_fiat_shamir(ts_list[i], c, W_list[i], F)
             zkps.append(zkp)
 
+        # Circuits past the one-program compile budget use the phased
+        # batch (see ZkProver.K_ZKFUSE_TERM_LIMIT).
+        if (c.logc > 0 or c.nterms() > ZkProver.K_ZKFUSE_TERM_LIMIT
+                or type(F).__name__ == "Fp2"):
+            return self._phased_batch(W_list, ts_list, provers, zkps,
+                                      tableau)
+
         # ---- launch 2: batched fused prove ---------------------------
         logc, nc = c.logc, c.nc
         logv = c.logv
@@ -163,8 +189,148 @@ class BatchZkProver:
             print("batch: prove fetched", flush=True)
 
         # ---- per-proof host assembly ---------------------------------
-        out = []
         template = fused_out_template(F, metas, p, p.nrow)
+        return self._assemble_fused(packed, template, provers, zkps,
+                                    ts_list)
+
+    def _phased_batch(self, W_list, ts_list, provers, zkps,
+                      tableau) -> List[bytes]:
+        """Batched phased flow for circuits past the one-program budget:
+        vmapped sumcheck (launch 2), host verifier-constraint replay per
+        proof, vmapped Ligero responses (launch 3), vmapped column
+        openings (launch 4).  Proof bytes identical to B scalar
+        ZkProver._prove_phased runs."""
+        c, F, p = self.circ, self.F, self.param
+        B = len(W_list)
+        sc = self.proto.sumcheck
+        from ..sumcheck.prover_device import _out_template, _unpack
+        assert c.nterms() <= sc.K_FUSE_TERM_LIMIT, \
+            "phased batch needs the single-program sumcheck"
+
+        logc, nc = c.logc, c.nc
+        logv = c.logv
+        layer_meta, qds, nvs = [], [], []
+        for ly in range(c.nl):
+            layer = c.layers[ly]
+            nvs.append(c.layers[ly - 1].nw if ly > 0 else c.nv)
+            qds.append(sc._quad_dev_eval(layer.quad, nvs[-1]))
+            layer_meta.append((logv, layer.logw))
+            logv = layer.logw
+        metas = ((logc, nc), tuple(layer_meta))
+        nvs = tuple(nvs)
+
+        pads_b = _stack([
+            [sc._pads_dev(pr.pad.layers[ly], logc, c.layers[ly].logw)
+             for ly in range(c.nl)]
+            for pr in provers])
+        tsts = [ts.clone() for ts in ts_list]
+        fs_b = _stack([dfs.fs_init_from_host(t) for t in tsts])
+        W0_b = jnp.asarray(np.stack([
+            np.asarray(F.to_limbs(W)).reshape(F.L, c.ninputs, 1)
+            for W in W_list]))
+        claims_b = jnp.zeros((B, F.L, 2), jnp.uint32)
+
+        skey = ("bprovew", F.name, metas, nvs, B,
+                tuple(q["h0"].shape[0] for q in qds), W0_b.shape)
+        if skey not in _JIT:
+            def fn(fs, claims, W0, pads, qds):
+                return sc._prove_all_fn(fs, claims, None, qds, pads,
+                                        metas, W0=W0, nvs=nvs)
+
+            _JIT[skey] = jax.jit(jax.vmap(
+                fn, in_axes=(0, 0, 0, 0, None)))
+        packed = np.asarray(_JIT[skey](fs_b, claims_b, W0_b, pads_b, qds))
+
+        template = _out_template(F, metas, with_eval=True)
+        lqc = self.lqc
+        A_rows = []
+        cis = []
+        for i, pr in enumerate(provers):
+            fs_np, douts, evalok = _unpack(packed[i], template)
+            assert bool(np.asarray(evalok).all()), \
+                f"witness {i} does not satisfy the circuit"
+            proof, aux, _ = sc._assemble(c, pr.pad, True, fs_np, douts,
+                                         tsts[i])
+            zkps[i].proof = proof
+            a, _b, ci = verifier_constraints(
+                c, W_list[i], proof, aux, ts_list[i],
+                self.proto.n_witness, F)
+            A_rows.append(a)
+            cis.append(ci)
+
+        # ---- launch 3: batched Ligero responses ----------------------
+        lp0 = provers[0].lp
+        u_ldt_l, A_l, u_quad_l = [], [], []
+        for i, ts in enumerate(ts_list):
+            ts.write_bytes(HASH_OF_A)
+            u_ldt = gen_uldt(p, ts, F)
+            alphal = gen_alphal(cis[i], ts, F)
+            alphaq = gen_alphaq(p, ts, F)
+            A = inner_product_vector(F, p, cis[i], A_rows[i], alphal, lqc,
+                                     alphaq)
+            u_quad = gen_uquad(p, ts, F)
+            u_ldt_l.append(np.asarray(F.to_limbs(u_ldt)))
+            aflat = [v for r in range(p.nwqrow)
+                     for v in layout_Aext(F, p, r, A)]
+            A_l.append(np.asarray(F.to_limbs(aflat)).reshape(
+                (F.L, p.nwqrow, p.block)))
+            u_quad_l.append(np.asarray(F.to_limbs(u_quad)))
+        u_ldt_b = jnp.asarray(np.stack(u_ldt_l))
+        A_b = jnp.asarray(np.stack(A_l))
+        u_quad_b = jnp.asarray(np.stack(u_quad_l))
+        rkey = ("bresp", lp0.fp, tableau.shape, A_b.shape)
+        if rkey not in _JIT:
+            _JIT[rkey] = jax.jit(jax.vmap(lp0._responses_fn))
+        flat = np.asarray(_JIT[rkey](tableau, u_ldt_b, A_b, u_quad_b))
+
+        lead = (F.L,)
+        nl_ = int(np.prod(lead + (p.block,)))
+        nd_ = int(np.prod(lead + (p.dblock,)))
+        lproofs = []
+        for i, ts in enumerate(ts_list):
+            got = flat[i]
+            lproof = LigeroProof()
+            y_ldt = F.from_limbs(got[:nl_].reshape(lead + (p.block,)))
+            y_dot = F.from_limbs(
+                got[nl_ : nl_ + nd_].reshape(lead + (p.dblock,)))
+            yq = F.from_limbs(
+                got[nl_ + nd_ : nl_ + 2 * nd_].reshape(lead + (p.dblock,)))
+            assert got[-1] == 1, "W part of y_quad is nonzero"
+            lproof.y_ldt = list(y_ldt)
+            lproof.y_dot = list(y_dot)
+            lproof.y_quad_0 = list(yq[: p.r])
+            lproof.y_quad_2 = list(yq[p.block : p.dblock])
+            ts.write_elts(lproof.y_ldt, F)
+            ts.write_elts(lproof.y_dot, F)
+            ts.write_elts(lproof.y_quad_0, F)
+            ts.write_elts(lproof.y_quad_2, F)
+            lproofs.append(lproof)
+
+        # ---- launch 4: batched column openings -----------------------
+        idx_l = [gen_idx(p, ts, F) for ts in ts_list]
+        idx_b = jnp.asarray(np.asarray(idx_l, np.int32) + p.dblock)
+        gkey = ("bcols", lp0.fp, tableau.shape, idx_b.shape)
+        if gkey not in _JIT:
+            _JIT[gkey] = jax.jit(jax.vmap(
+                lambda t, i: jnp.take(t, i, axis=t.ndim - 1)))
+        cols = np.asarray(_JIT[gkey](tableau, idx_b))
+
+        out = []
+        for i, pr in enumerate(provers):
+            colv = F.from_limbs(cols[i])  # [nrow, nreq]
+            lproofs[i].req = [list(colv[r]) for r in range(p.nrow)]
+            path, nonces = pr.lp.mc.open(idx_l[i])
+            lproofs[i].merkle_path = path
+            lproofs[i].merkle_nonce = nonces
+            zkps[i].com_proof = lproofs[i]
+            out.append(write_zk_proof(zkps[i], c, p, F))
+        return out
+
+    def _assemble_fused(self, packed, template, provers, zkps, ts_list
+                        ) -> List[bytes]:
+        c, F, p = self.circ, self.F, self.param
+        sc = self.proto.sumcheck
+        out = []
         for i, pr in enumerate(provers):
             tree = unpack_tree(packed[i], template)
             assert bool(np.asarray(tree["evalok"]).all()), \

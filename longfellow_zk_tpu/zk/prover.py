@@ -57,6 +57,14 @@ class ZkProver:
         zkp.com = self.lp.commit(ts, self.witness, subfield_boundary,
                                  self.lqc, rng)
 
+    # The all-in-one program (sumcheck + verifier constraints + Ligero
+    # responses, zk/fused.py) compiles a much larger graph per term than
+    # the sumcheck-only program: at SHA scale (267k terms) it OOMs the
+    # TPU remote-compile helper (SIGKILL).  Keep the one-launch path for
+    # small circuits only; larger ones use the phased flow whose three
+    # programs each stay within the compile budget.
+    K_ZKFUSE_TERM_LIMIT = 100_000
+
     def prove(self, zkp: ZkProof, W_host: List, ts) -> bool:
         """(zk_prover.h:102-149).
 
@@ -64,12 +72,21 @@ class ZkProver:
         axis), the ENTIRE post-commit prove — circuit evaluation,
         sumcheck, verifier-constraint build, and the Ligero response
         phase — runs as ONE device program with one fetch (zk/fused.py);
-        proof bytes are bit-identical to the multi-program flow below."""
+        proof bytes are bit-identical to the multi-program flow below.
+        A fused compile failure (helper OOM / backend crash) falls back
+        to the phased flow on a restored transcript."""
         c = self.circ
         if (c.logc == 0
-                and c.nterms() <= self.sumcheck.K_FUSE_TERM_LIMIT
+                and c.nterms() <= self.K_ZKFUSE_TERM_LIMIT
                 and type(self.F).__name__ != "Fp2"):
-            return self._prove_fused(zkp, W_host, ts)
+            saved = ts.export_state()
+            try:
+                return self._prove_fused(zkp, W_host, ts)
+            except Exception as e:  # pragma: no cover - backend-dependent
+                from ..utils.log import log, WARNING
+                log(WARNING, "fused prove failed (%s); phased fallback",
+                    type(e).__name__)
+                ts.import_state(saved)
         return self._prove_phased(zkp, W_host, ts)
 
     def _prove_phased(self, zkp: ZkProof, W_host: List, ts) -> bool:
