@@ -345,6 +345,22 @@ def main() -> None:
         extra.update(run_phase(name, budget))
         emit(extra)
 
+    # One retry pass: a killed/OOMed remote compile wedges the relay for
+    # a few minutes, which can fail an otherwise-warm phase; retry
+    # errored phases with whatever budget remains.
+    for name, cap in plan:
+        if not any(k == name + "_error" and "skip" not in str(v)
+                   for k, v in extra.items()):
+            continue
+        budget = min(cap, _left() - 30)
+        if budget < 90:
+            continue
+        res = run_phase(name, budget)
+        if not any(k.endswith("_error") for k in res):
+            extra.pop(name + "_error", None)
+        extra.update(res)
+        emit(extra)
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
