@@ -75,6 +75,9 @@ def phase_mdoc() -> dict:
         proof = one()
     ms = (time.perf_counter() - t0) / iters * 1000.0
     out = {"mdoc_prover_ms": round(ms, 1), "mdoc_proof_bytes": len(proof)}
+    import resource
+    out["mdoc_peak_rss_mb"] = round(
+        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1)
     ok = api.run_mdoc_verifier(circuit_bytes, pkx, pky, tr, attrs, now,
                                proof, b"org.iso.18013.5.1.mDL", spec)
     assert ok
@@ -186,8 +189,49 @@ def phase_fft() -> dict:
     for _ in range(3):
         y = fftb(x)
     np.asarray(y[0, :1])
-    return {"fft_fp128_2e20_ms": round(
+    out = {"fft_fp128_2e20_ms": round(
         (time.perf_counter() - t0) / 3 * 1000.0, 3)}
+
+    # FFT over Fp256^2, n=2^20 (benchmarks.md:23: 446.8 ms Mac M4)
+    from longfellow_zk_tpu.fields.fp_instances import (
+        P256_FP2_ROOT_ORDER, P256_FP2_ROOT_X, P256_FP2_ROOT_Y, p256_base)
+    from longfellow_zk_tpu.fields.fp2 import Fp2
+    from longfellow_zk_tpu.transforms.ntt import NTT, ReedSolomon, \
+        make_fft_convolution_factory
+
+    FB = p256_base()
+    F2 = Fp2(FB)
+    ntt2 = NTT(F2, (P256_FP2_ROOT_X, P256_FP2_ROOT_Y),
+               P256_FP2_ROOT_ORDER)
+    limbs2 = rng.integers(0, 1 << 16, size=(2, FB.L, 1 << 20),
+                          dtype=np.uint32)
+    limbs2[:, FB.L - 1] &= 0x7FFF
+    x2 = jnp.asarray(limbs2)
+    fftb2 = jax.jit(ntt2.fftb)
+    np.asarray(fftb2(x2)[0, 0, :1])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        y2 = fftb2(x2)
+    np.asarray(y2[0, 0, :1])
+    out["fft_fp256x2_2e20_ms"] = round(
+        (time.perf_counter() - t0) / 3 * 1000.0, 3)
+    out["fft_fp256x2_vs_baseline"] = round(
+        446.8 / out["fft_fp256x2_2e20_ms"], 2)
+
+    # Reed-Solomon extension (BM_ReedSolomon twin,
+    # reed_solomon_test.cc:334-398): fp128, 2^16 -> 4*2^16 points
+    conv = make_fft_convolution_factory(F, P128_OMEGA, P128_OMEGA_ORDER)
+    rs = ReedSolomon(1 << 16, 3 << 16, F, conv)
+    xr = jnp.asarray(limbs[:, : 1 << 16])
+    ext = jax.jit(rs.interpolate)
+    np.asarray(ext(xr)[0, :1])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        yr = ext(xr)
+    np.asarray(yr[0, :1])
+    out["rs_encode_fp128_2e16_x3_ms"] = round(
+        (time.perf_counter() - t0) / 3 * 1000.0, 3)
+    return out
 
 
 def phase_ecdsa() -> dict:

@@ -63,7 +63,7 @@ class ShardedNTT:
             a = mnt._rec(jnp.swapaxes(z, -1, -2), R, inverse)  # [8, S/D, R]
             return jnp.swapaxes(a, -1, -2)  # [8, R, S/D]
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
 
         mapped = shard_map(
             kernel, mesh=self.mesh,

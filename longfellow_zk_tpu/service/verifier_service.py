@@ -18,10 +18,14 @@ reference's service and vice versa.
 
 Certificate handling: the issuer public key is extracted from the
 first certificate of msoX5chain (SubjectPublicKeyInfo P-256 point,
-zk/cbor.go getFirstCert + x509 parse).  Full chain validation against
-a CA pool (zk/roots.go) requires an X.509 trust store and is exposed
-as a `check_chain` hook; the default deployment should place the
-service behind its own PKI validator.
+zk/cbor.go getFirstCert + x509 parse), and — like the reference's
+validateIssuerKey (zk/cbor.go), which verifies the chain against
+IssuerRoots — the service REJECTS a request unless the supplied
+`check_chain` hook accepts the full DER chain.  msoX5chain is a
+required field.  `x509_chain_checker(roots)` builds a hook that
+verifies each certificate is signed by its successor and anchors the
+chain in a trusted root pool; deployments without any trust
+configuration must opt in explicitly with require_issuer_chain=False.
 """
 
 from __future__ import annotations
@@ -81,6 +85,51 @@ class VerifyRequest:
     transcript: bytes = b""
     claims: Dict[str, List[dict]] = field(default_factory=dict)
     proof: bytes = b""
+    x5chain: List[bytes] = field(default_factory=list)
+
+
+def x509_chain_checker(roots_der: List[bytes]) -> Callable[[List[bytes]],
+                                                           bool]:
+    """Chain validator equivalent to the reference's IssuerRoots check
+    (zk/cbor.go validateIssuerKey + zk/roots.go): each certificate must
+    be signed by the next one in the chain, and the chain must anchor in
+    one of the trusted roots (by exact DER match, or by a root that
+    directly issued the last chain certificate)."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives.serialization import Encoding
+
+    roots = []
+    for der in roots_der:
+        try:
+            roots.append(x509.load_der_x509_certificate(der))
+        except ValueError:
+            roots.append(x509.load_pem_x509_certificate(der))
+    root_bytes = {r.public_bytes(Encoding.DER) for r in roots}
+
+    def check(chain_der: List[bytes]) -> bool:
+        if not chain_der:
+            return False
+        try:
+            chain = [x509.load_der_x509_certificate(d) for d in chain_der]
+            for child, parent in zip(chain, chain[1:]):
+                child.verify_directly_issued_by(parent)
+            last = chain[-1]
+            if chain_der[-1] in root_bytes:
+                # anchor present in the chain itself: verify
+                # self-signature
+                last.verify_directly_issued_by(last)
+                return True
+            for root in roots:
+                try:
+                    last.verify_directly_issued_by(root)
+                    return True
+                except Exception:
+                    continue
+            return False
+        except Exception:
+            return False
+
+    return check
 
 
 def build_device_response(doc_type: str, zk_system_id: str,
@@ -186,11 +235,18 @@ def process_device_response(raw: bytes) -> VerifyRequest:
         raise ValueError("timestamp must be %d bytes" % TIMESTAMP_LEN)
     req.now = now
 
-    if chain is not None:
-        cert = (chain.index(0) if chain.is_variant(hd.ARRAY)
-                else chain)
+    # msoX5chain is required (zk/cbor.go getFirstCert rejects a missing
+    # chain) — without it the issuer key would be unauthenticated.
+    if chain is None:
+        raise ValueError("documentData: missing msoX5chain")
+    cert_nodes = ([chain.index(i) for i in range(chain.n_items)]
+                  if chain.is_variant(hd.ARRAY) else [chain])
+    if not cert_nodes:
+        raise ValueError("msoX5chain: empty certificate chain")
+    for cert in cert_nodes:
         c_pos, c_len = cert.as_bytes()
-        req.pkx, req.pky = extract_p256_pubkey(dd[c_pos : c_pos + c_len])
+        req.x5chain.append(dd[c_pos : c_pos + c_len])
+    req.pkx, req.pky = extract_p256_pubkey(req.x5chain[0])
 
     # issuerSigned: namespace -> [{elementIdentifier, elementValue}]
     if not issuer.is_variant(hd.MAP):
@@ -209,12 +265,15 @@ def process_device_response(raw: bytes) -> VerifyRequest:
             if ident_node is None or val_node is None:
                 raise ValueError("issuerSigned item missing fields")
             ident = _text_of(dd, ident_node)
-            v_pos, v_len = val_node.position(), val_node.length()
-            # RequestedAttribute carries the encoded CBOR value;
-            # primitives/ints are re-encoded from the node header
+            # RequestedAttribute carries the full encoded CBOR extent of
+            # the value — re-parse from its header so container values
+            # (arrays/maps, e.g. driving_privileges) are captured whole,
+            # like the reference's cbor.RawMessage (zk/cbor.go).
             start = val_node.header_pos
-            end = max(v_pos + v_len, start + 1)
-            cbor_value = dd[start:end]
+            sub = hd.decode(dd, start)
+            if sub is None:
+                raise ValueError("elementValue: invalid CBOR")
+            cbor_value = dd[start : sub[1]]
             claim_list.append({"elementIdentifier": ident.decode(),
                                "elementValue": cbor_value.hex()})
             req.attributes.append(RequestedAttribute(
@@ -235,9 +294,14 @@ class VerifierService:
     GetZKSpecs/VerifyProofRequest + zk/circuits.go)."""
 
     def __init__(self, circuit_dir: str,
-                 check_chain: Optional[Callable[[bytes], bool]] = None):
+                 check_chain: Optional[Callable[[List[bytes]], bool]]
+                 = None,
+                 require_issuer_chain: bool = True):
         self.circuit_dir = circuit_dir
         self.check_chain = check_chain
+        # require_issuer_chain=False is the explicit insecure opt-out
+        # for deployments that validate the issuer PKI elsewhere.
+        self.require_issuer_chain = require_issuer_chain
         self._bytes: Dict[str, bytes] = {}
 
     def specs(self) -> List[dict]:
@@ -265,6 +329,17 @@ class VerifierService:
             return dict(Status=False,
                         Message="Error processing cbor request: %s" % e)
         req.transcript = transcript
+        # issuer chain validation (zk/cbor.go validateIssuerKey): the
+        # proof is only as trustworthy as the certificate the issuer key
+        # came from.
+        if self.check_chain is not None:
+            if not self.check_chain(req.x5chain):
+                return dict(Status=False,
+                            Message="issuer certificate chain rejected")
+        elif self.require_issuer_chain:
+            return dict(Status=False,
+                        Message="no issuer trust store configured "
+                                "(refusing unvalidated msoX5chain)")
         spec = find_zk_spec(req.system, req.circuit_id)
         if spec is None:
             return dict(Status=False,
@@ -322,8 +397,16 @@ def make_handler(svc: VerifierService):
     return Handler
 
 
-def serve(circuit_dir: str, port: int = 8888) -> None:
-    svc = VerifierService(circuit_dir)
+def serve(circuit_dir: str, port: int = 8888,
+          issuer_roots: Optional[str] = None,
+          insecure_no_chain_check: bool = False) -> None:
+    check = None
+    if issuer_roots:
+        roots = [open(os.path.join(issuer_roots, f), "rb").read()
+                 for f in sorted(os.listdir(issuer_roots))]
+        check = x509_chain_checker(roots)
+    svc = VerifierService(circuit_dir, check_chain=check,
+                          require_issuer_chain=not insecure_no_chain_check)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(svc))
     print("verifier service on :%d (circuits: %s)" % (port, circuit_dir))
     httpd.serve_forever()
@@ -334,8 +417,16 @@ def main() -> None:
                                  "service (twin of the Go demo server)")
     ap.add_argument("--circuit_dir", required=True)
     ap.add_argument("--port", type=int, default=8888)
+    ap.add_argument("--issuer_roots", default=None,
+                    help="directory of trusted issuer root certificates "
+                         "(DER or PEM); required unless "
+                         "--insecure_no_chain_check")
+    ap.add_argument("--insecure_no_chain_check", action="store_true",
+                    help="accept any msoX5chain (issuer PKI validated "
+                         "elsewhere)")
     args = ap.parse_args()
-    serve(args.circuit_dir, args.port)
+    serve(args.circuit_dir, args.port, args.issuer_roots,
+          args.insecure_no_chain_check)
 
 
 if __name__ == "__main__":

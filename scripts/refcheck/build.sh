@@ -17,3 +17,19 @@ g++ -O1 -std=c++17 -w -march=native \
     "$REF/ec/p256.cc" \
     -o _build/refcheck_cli
 echo "built _build/refcheck_cli"
+g++ -O2 -std=c++17 -w -march=native \
+    -I "$REF" -I shim \
+    mdoc_bench_cli.cc \
+    shim/shim.c \
+    "$REF/util/crypto.cc" \
+    "$REF/util/log.cc" \
+    "$REF/algebra/nat.cc" \
+    "$REF/ec/p256.cc" \
+    "$REF/circuits/mdoc/mdoc_zk.cc" \
+    "$REF/circuits/mdoc/mdoc_decompress.cc" \
+    "$REF/circuits/mdoc/zk_spec.cc" \
+    "$REF/circuits/sha/flatsha256_witness.cc" \
+    "$REF/circuits/sha/sha256_constants.cc" \
+    -lzstd \
+    -o _build/mdoc_bench_cli
+echo "built _build/mdoc_bench_cli"

@@ -6,6 +6,18 @@
 //
 //   mdoc_bench_cli <circuit-file> [prover-iters] [verifier-iters]
 //
+// Interop modes (mdoc-scale cross-implementation check — the
+// reference's own bar is bit-level proof interop on the real
+// application, rust/README.md:45):
+//
+//   mdoc_bench_cli <circuit-file> prove-out <path>
+//       run the REFERENCE prover on mdoc_tests[0]/age_over_18 and write
+//       the proof bytes to <path> (for the Python run_mdoc_verifier).
+//   mdoc_bench_cli <circuit-file> verify-in <path>
+//       read proof bytes produced by the Python run_mdoc_prover from
+//       <path> and check them with the REFERENCE run_mdoc_verifier
+//       (mdoc_zk.h:180-192).  Prints INTEROP_VERIFY_OK on success.
+//
 // <circuit-file>: a shipped compressed circuit from
 // lib/circuits/mdoc/circuits/ whose name matches kZkSpecs[0]'s
 // circuit_hash (generate_circuit output bytes, README.md there).
@@ -65,6 +77,46 @@ int main(int argc, char** argv) {
   const RequestedAttribute attrs[1] = {test::age_over_18};
   const MdocTests* test = &mdoc_tests[0];
   size_t num_attrs = 1;
+
+  const std::string mode = argc > 2 ? argv[2] : "";
+  if (mode == "verify-in") {
+    std::vector<uint8_t> proof;
+    if (argc < 4 || !slurp(argv[3], &proof)) {
+      fprintf(stderr, "cannot read proof file\n");
+      return 2;
+    }
+    MdocVerifierErrorCode rv = run_mdoc_verifier(
+        circuit.data(), circuit.size(), test->pkx.as_pointer,
+        test->pky.as_pointer, test->transcript, test->transcript_size,
+        attrs, num_attrs, (const char*)test->now, proof.data(),
+        proof.size(), test->doc_type, &zk_spec);
+    if (rv != MDOC_VERIFIER_SUCCESS) {
+      fprintf(stderr, "INTEROP_VERIFY_FAIL %d\n", (int)rv);
+      return 1;
+    }
+    printf("INTEROP_VERIFY_OK\n");
+    return 0;
+  }
+  if (mode == "prove-out") {
+    if (argc < 4) return 2;
+    uint8_t* zp = nullptr;
+    size_t pl = 0;
+    MdocProverErrorCode rp = run_mdoc_prover(
+        circuit.data(), circuit.size(), test->mdoc, test->mdoc_size,
+        test->pkx.as_pointer, test->pky.as_pointer, test->transcript,
+        test->transcript_size, attrs, num_attrs, (const char*)test->now,
+        &zp, &pl, &zk_spec);
+    if (rp != MDOC_PROVER_SUCCESS) {
+      fprintf(stderr, "prover failed: %d\n", (int)rp);
+      return 1;
+    }
+    std::ofstream out(argv[3], std::ios::binary);
+    out.write((const char*)zp, pl);
+    out.close();
+    printf("INTEROP_PROVE_OK %zu\n", pl);
+    free(zp);
+    return 0;
+  }
 
   // one warm-up prove, kept for the verifier timing
   uint8_t* zkproof = nullptr;

@@ -27,3 +27,20 @@ def test_sharded_ntt_matches_single_device():
     got = F.from_limbs(np.asarray(snt.fftb(x)))
     want = F.from_limbs(np.asarray(jax.jit(ntt.fftb)(x)))
     assert list(got) == list(want)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ntt_radix16():
+    """radix-16 kernel path + larger transform (n=256)."""
+    F = fp128()
+    mesh = make_mesh(8, 1)
+    snt = ShardedNTT(F, P128_OMEGA, P128_OMEGA_ORDER, mesh, radix=16)
+    ntt = NTT(F, P128_OMEGA, P128_OMEGA_ORDER)
+    rng = random.Random(6)
+    n = 256
+    vals = [rng.randrange(F.p) for _ in range(n)]
+    x = jnp.asarray(F.to_limbs(vals))
+    got = F.from_limbs(np.asarray(snt.fftb(x)))
+    want = F.from_limbs(np.asarray(jax.jit(ntt.fftb)(x)))
+    assert list(got) == list(want)

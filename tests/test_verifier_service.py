@@ -98,7 +98,8 @@ def test_device_response_round_trip():
 
 
 def test_zkverify_error_paths():
-    svc = VerifierService(circuit_dir="/nonexistent")
+    svc = VerifierService(circuit_dir="/nonexistent",
+                          check_chain=lambda chain: True)
     out = svc.zkverify(b"tr", b"\x00garbage")
     assert out["Status"] is False and "cbor" in out["Message"]
 
@@ -133,6 +134,115 @@ def test_zkverify_error_paths():
     assert out["Status"] is False and "namespace" in out["Message"]
 
 
+def _mk_response(pkx, pky, now, issuer_signed=None, x5chain=None,
+                 proof=b"\x00"):
+    spec = ZK_SPECS[0]
+    return build_device_response(
+        doc_type="org.iso.18013.5.1.mDL",
+        zk_system_id="%s %s" % (LONGFELLOW_SYSTEM, spec.circuit_hash),
+        issuer_signed=issuer_signed
+        or {MDL_NAMESPACE: [("age_over_18", b"\xf5")]},
+        x5chain=x5chain or [_fake_cert(pkx, pky)],
+        timestamp=now.decode(), proof=proof)
+
+
+def test_issuer_chain_enforced():
+    """Requests are rejected unless the chain hook accepts — the
+    reference rejects any issuer key not anchored in IssuerRoots
+    (zk/cbor.go validateIssuerKey)."""
+    mdoc, tr, pkx, pky, now = _example()
+    dr = _mk_response(pkx, pky, now)
+
+    # no trust store configured: refuse (no silent self-issued accept)
+    svc = VerifierService(circuit_dir="/nonexistent")
+    out = svc.zkverify(tr, dr)
+    assert out["Status"] is False and "trust" in out["Message"]
+
+    # rejecting hook: refuse with the chain message
+    svc = VerifierService(circuit_dir="/nonexistent",
+                          check_chain=lambda chain: False)
+    out = svc.zkverify(tr, dr)
+    assert out["Status"] is False and "chain rejected" in out["Message"]
+
+    # the hook sees the full DER chain
+    seen = []
+    svc = VerifierService(circuit_dir="/nonexistent",
+                          check_chain=lambda c: seen.extend(c) or True)
+    svc.zkverify(tr, dr)
+    assert seen == [_fake_cert(pkx, pky)]
+
+    # a missing msoX5chain is rejected at parse time
+    import re
+    raw = _mk_response(pkx, pky, now)
+    # build a container without the chain field by re-encoding
+    from longfellow_zk_tpu.circuits.cbor import host_decoder as hd
+    with pytest.raises(ValueError, match="msoX5chain"):
+        dd = encode({"docType": "org.iso.18013.5.1.mDL",
+                     "zkSystemID": "%s %s" % (LONGFELLOW_SYSTEM,
+                                              ZK_SPECS[0].circuit_hash),
+                     "issuerSigned": {MDL_NAMESPACE: []},
+                     "timestamp": now.decode()})
+        process_device_response(encode({
+            "version": "1.0",
+            "zkDocuments": [{"documentData": bytes(dd), "proof": b"\x00"}],
+            "status": 0}))
+
+
+def test_x509_chain_checker_real_certs():
+    """x509_chain_checker against a real self-signed root + leaf."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.serialization import Encoding
+    from longfellow_zk_tpu.service.verifier_service import (
+        x509_chain_checker)
+
+    def mk_cert(subject, issuer_name, signing_key, pub_key):
+        name = x509.Name([x509.NameAttribute(
+            x509.NameOID.COMMON_NAME, subject)])
+        iname = x509.Name([x509.NameAttribute(
+            x509.NameOID.COMMON_NAME, issuer_name)])
+        now = datetime.datetime(2026, 1, 1)
+        return (x509.CertificateBuilder()
+                .subject_name(name).issuer_name(iname)
+                .public_key(pub_key).serial_number(1)
+                .not_valid_before(now)
+                .not_valid_after(now + datetime.timedelta(days=365))
+                .sign(signing_key, hashes.SHA256()))
+
+    root_key = ec.generate_private_key(ec.SECP256R1())
+    leaf_key = ec.generate_private_key(ec.SECP256R1())
+    root = mk_cert("root", "root", root_key, root_key.public_key())
+    leaf = mk_cert("leaf", "root", root_key, leaf_key.public_key())
+    rogue_key = ec.generate_private_key(ec.SECP256R1())
+    rogue = mk_cert("leaf", "root", rogue_key, leaf_key.public_key())
+
+    check = x509_chain_checker([root.public_bytes(Encoding.DER)])
+    assert check([leaf.public_bytes(Encoding.DER)])
+    assert check([leaf.public_bytes(Encoding.DER),
+                  root.public_bytes(Encoding.DER)])
+    assert not check([rogue.public_bytes(Encoding.DER)])
+    assert not check([])
+    assert not check([b"not a certificate"])
+
+
+def test_container_element_value():
+    """Container-valued attributes (e.g. driving_privileges arrays) must
+    round-trip whole, like the reference's cbor.RawMessage."""
+    mdoc, tr, pkx, pky, now = _example()
+    priv = encode([{"vehicle_category_code": "A"}])
+    dr = _mk_response(
+        pkx, pky, now,
+        issuer_signed={MDL_NAMESPACE: [("driving_privileges", bytes(priv)),
+                                       ("age_over_18", b"\xf5")]})
+    req = process_device_response(dr)
+    vals = {a.id: a.cbor_value for a in req.attributes}
+    assert vals[b"driving_privileges"] == bytes(priv)
+    assert vals[b"age_over_18"] == b"\xf5"
+
+
 @pytest.mark.slow
 def test_http_prove_verify_e2e():
     """Full loop: run_mdoc_prover -> ZKDeviceResponse -> HTTP POST
@@ -164,7 +274,8 @@ def test_http_prove_verify_e2e():
         issuer_signed={MDL_NAMESPACE: [("age_over_18", b"\xf5")]},
         x5chain=[_fake_cert(pkx, pky)], timestamp=now.decode(), proof=proof)
 
-    svc = VerifierService(circuit_dir=CIRCUITS_DIR)
+    svc = VerifierService(circuit_dir=CIRCUITS_DIR,
+                          check_chain=lambda chain: len(chain) == 1)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
