@@ -58,12 +58,20 @@ def param_fingerprint(p: LigeroParam) -> tuple:
 
 
 class LigeroProver:
-    def __init__(self, p: LigeroParam, F, rs_factory: Callable):
+    def __init__(self, p: LigeroParam, F, rs_factory: Callable,
+                 mesh=None):
         """rs_factory(n, m) -> encoder with .interpolate(device [L.., rows, n])
-        returning [L.., rows, m]."""
+        returning [L.., rows, m]).
+
+        mesh: optional jax.sharding.Mesh — the tableau ROWS (independent
+        RS encodes, row hashes, response dot products) are sharded over
+        the mesh's first axis; XLA inserts the collectives.  Proof bytes
+        are identical to the single-device run (integer byte-column
+        reductions commute exactly)."""
         self.p = p
         self.F = F
         self.rs_factory = rs_factory
+        self.mesh = mesh
         self.mc = MerkleCommitment(p.block_ext)
         self.tableau_dev = None  # device limbs [L.., nrow, block_enc]
         # cache identity: full layout + RS factory identity (factories
@@ -166,9 +174,27 @@ class LigeroProver:
         # digests and the root cross the host boundary (the tableau
         # stays device-resident for prove); the host rebuilds the tree
         # from the leaves for proof opening.
-        key = ("commitf", self.fp, arr_b.shape, arr_d.shape)
+        key = ("commitf", self.fp, arr_b.shape, arr_d.shape,
+               id(self.mesh) if self.mesh is not None else None)
         if key not in _JIT_CACHE:
-            _JIT_CACHE[key] = jax.jit(self._commit_full_fn)
+            if self.mesh is None:
+                _JIT_CACHE[key] = jax.jit(self._commit_full_fn)
+            else:
+                # shard the tableau ROWS over the mesh's first axis —
+                # in-program constraint (supports uneven row counts;
+                # GSPMD pads).  The single-device HLO is untouched.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ax = self.mesh.axis_names[0]
+                spec = [None] * arr_b.ndim
+                spec[arr_b.ndim - 2] = ax
+                sh = NamedSharding(self.mesh, P(*spec))
+
+                def fn(ab, ad, nz, _f=self._commit_full_fn, _sh=sh):
+                    return _f(jax.lax.with_sharding_constraint(ab, _sh),
+                              ad, nz)
+
+                _JIT_CACHE[key] = jax.jit(fn)
         tableau, leaves_dev, root_dev = _JIT_CACHE[key](
             arr_b, arr_d, jnp.asarray(nonce_arr))
         self.tableau_dev = tableau

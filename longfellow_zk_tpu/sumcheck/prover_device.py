@@ -28,6 +28,7 @@ Proof bytes are identical to the host prover's (tested)."""
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax
@@ -153,6 +154,92 @@ def _batch_axis(F, arr, axis: int) -> int:
     return (axis % arr.ndim) - nlead
 
 
+def _contig_fold(F, x, starts, ends):
+    """Fold contiguous term-axis segments [starts[i], ends[i]) of x into
+    one field element each (x: [lead.., T] -> [lead.., U]).
+
+    This is the term-merge primitive: prefix-scan + two U-sized gathers,
+    no scatters.  Exact: GF2 adds are XOR; odd-characteristic sums use
+    byte-column prefix sums whose wraparound differences are exact
+    because every segment's byte-column sum is < 2^32."""
+    ax = x.ndim - 1
+    bshape = (1,) * ax + (-1,)
+    if F.kCharacteristicTwo:
+        px = jax.lax.associative_scan(jax.lax.bitwise_xor, x, axis=ax)
+        pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=ax)
+        ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=ax)
+        ps = jnp.where((starts > 0).reshape(bshape), ps,
+                       jnp.zeros_like(ps))
+        return pe ^ ps
+    if type(F).__name__ == "Fp2":
+        return jnp.stack([_contig_fold(F.f, x[0], starts, ends),
+                          _contig_fold(F.f, x[1], starts, ends)])
+    b = F._byte_split(x)  # [2L, ..., T]
+    px = jnp.cumsum(b, axis=-1, dtype=jnp.uint32)
+    pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=-1)
+    ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=-1)
+    ps = jnp.where((starts > 0).reshape((1,) * (b.ndim - 1) + (-1,)), ps,
+                   jnp.zeros_like(ps))
+    return F._renormalize(pe - ps)
+
+
+def _wire_merge_plan(h0: np.ndarray, h1: np.ndarray, logw: int):
+    """Host-side static schedule for wire-round term merging.
+
+    Terms with equal (h0, h1) behave identically for the rest of the
+    layer (their hv updates and a0/a2 contributions depend only on the
+    index bits), so they can be summed into one.  As rounds shift the
+    indices right, more pairs collide — e.g. the 3.58M-term mdoc SHA
+    tree layer has only 439k unique pairs up front and 49k after four
+    rounds.  Sorting once by the MSB-first Morton interleave of
+    (h0, h1) makes every merge a CONTIGUOUS segment fold.
+
+    Returns (perm, stages): perm int32[T]; stages = list of
+    (nrounds, starts, ends, h0_rep, h1_rep) with nrounds summing to
+    logw; stage s folds stage (s-1)'s arrays."""
+    T = len(h0)
+    key = np.zeros(T, np.int64)
+    for b in range(logw):
+        key |= ((h0.astype(np.int64) >> b) & 1) << (2 * b + 1)
+        key |= ((h1.astype(np.int64) >> b) & 1) << (2 * b)
+    perm = np.argsort(key, kind="stable").astype(np.int32)
+    skey = key[perm]
+    sh0, sh1 = h0[perm].astype(np.int32), h1[perm].astype(np.int32)
+
+    # unique counts per shift
+    uniq = [len(np.unique(skey >> np.int64(2 * k)))
+            for k in range(logw + 1)]
+
+    # stage boundaries: re-merge when the pair count drops 3x
+    shifts = [0]
+    while shifts[-1] < logw and len(shifts) < 4:
+        k = shifts[-1]
+        nk = next((k2 for k2 in range(k + 1, logw)
+                   if uniq[k2] * 3 <= uniq[k]), logw)
+        if nk >= logw:
+            break
+        shifts.append(nk)
+
+    stages = []
+    prev_key = skey
+    prev_h0, prev_h1 = sh0, sh1
+    prev_n = T
+    for si, k in enumerate(shifts):
+        rel = k - (shifts[si - 1] if si else 0)
+        gk = prev_key >> np.int64(2 * rel)
+        _, starts = np.unique(gk, return_index=True)
+        starts = np.sort(starts).astype(np.int32)
+        ends = np.append(starts[1:], prev_n).astype(np.int32)
+        h0_rep = (prev_h0[starts] >> rel).astype(np.int32)
+        h1_rep = (prev_h1[starts] >> rel).astype(np.int32)
+        nrounds = (shifts[si + 1] if si + 1 < len(shifts) else logw) - k
+        stages.append((nrounds, starts, ends, h0_rep, h1_rep))
+        prev_key, prev_h0, prev_h1 = gk[starts], h0_rep, h1_rep
+        prev_n = len(starts)
+    assert sum(s[0] for s in stages) == logw
+    return perm, stages
+
+
 def _write_tagged_elts(F, fs: dict, elts: List[jax.Array]) -> dict:
     """Absorb k individually-tagged field elements with ONE batched
     serialization (a single from-Montgomery multiply) and one absorb."""
@@ -177,7 +264,7 @@ def _out_template(F, metas, with_eval: bool = False):
     output tree — deterministic from the circuit geometry."""
     (logc, _nc), layer_meta = metas
     outs = []
-    for (_logv, logw) in layer_meta:
+    for (_logv, logw, *_rest) in layer_meta:
         outs.append(dict(
             wc=((F.L, 2), np.uint32),
             bq=((F.L,), np.uint32),
@@ -193,6 +280,22 @@ def _out_template(F, metas, with_eval: bool = False):
     if with_eval:
         tree["evalok"] = ((len(layer_meta) + 1,), np.bool_)
     return tree
+
+
+def _unpack_list(packed: np.ndarray, template):
+    """Inverse of _pack_fn for a bare list-of-dicts template of
+    (shape, dtype) leaves (the per-chunk packed output)."""
+    leaves, treedef = jax.tree_util.tree_flatten(
+        template, is_leaf=lambda x: isinstance(x, tuple)
+        and len(x) == 2 and isinstance(x[0], tuple))
+    rebuilt = []
+    off = 0
+    for shape, dtype in leaves:
+        n = int(np.prod(shape)) if shape else 1
+        rebuilt.append(packed[off : off + n].reshape(shape).astype(dtype))
+        off += n
+    assert off == packed.size, (off, packed.size)
+    return jax.tree_util.tree_unflatten(treedef, rebuilt)
 
 
 def _unpack(packed: np.ndarray, template):
@@ -359,7 +462,34 @@ class DeviceSumcheckProver:
                 h1=jnp.asarray(h1),
             )
             quad._seg_np = g  # host copy for boundary computation
+            quad._h_np = (h0, h1)
         return quad._dev_cache
+
+    # terms below this count aren't worth the merge prologue
+    K_MERGE_MIN_TERMS = 4096
+
+    def _wm_for(self, quad, logw: int):
+        """(static plan, device arrays) for wire-round term merging —
+        cached per quad (the schedule is a pure function of the quad's
+        index structure; see _wire_merge_plan)."""
+        wm = getattr(quad, "_wm_cache", None)
+        if wm is None or wm[0] != logw:
+            self._quad_dev(quad)  # ensure _h_np
+            h0, h1 = quad._h_np
+            if len(h0) < self.K_MERGE_MIN_TERMS:
+                quad._wm_cache = (logw, None, None)
+            else:
+                perm, stages = _wire_merge_plan(h0, h1, logw)
+                plan = tuple((s[0], len(s[1])) for s in stages)
+                arrs = dict(
+                    wm_perm=jnp.asarray(perm),
+                    wms=[dict(s=jnp.asarray(st[1]), e=jnp.asarray(st[2]),
+                              h0=jnp.asarray(st[3]),
+                              h1=jnp.asarray(st[4]))
+                         for st in stages])
+                quad._wm_cache = (logw, plan, arrs)
+        _lw, plan, arrs = quad._wm_cache
+        return plan, arrs
 
     def _quad_dev_eval(self, quad, nv: int):
         """_quad_dev plus per-nv segment boundaries (char-2 eval path)."""
@@ -472,10 +602,39 @@ class DeviceSumcheckProver:
             body, (fs, W0, W1, hv, h0, h1, claim), hp_pad)
         return fs, W0, W1, hv, claim, hp_raw, g_ch
 
+    def _wire_rounds(self, fs, Wh, hv, qd, eq0, claim, hp_pad, logw: int,
+                     wm_plan):
+        """All wire rounds of a layer: merged+staged when a wm_plan is
+        available (terms with equal (h0, h1) indices summed into one —
+        bit-identical output, 8-90x less round work at mdoc scale),
+        otherwise the single scan over the raw term list."""
+        if not wm_plan:
+            return self._wire_scan(fs, Wh, Wh, hv, qd["h0"], qd["h1"],
+                                   eq0, claim, hp_pad, logw)
+        F = self.F
+        hv = jnp.take(hv, qd["wm_perm"], axis=hv.ndim - 1)
+        W0 = W1 = Wh
+        hp_parts, g_parts = [], []
+        off = 0
+        for si, (nr, _U) in enumerate(wm_plan):
+            st = qd["wms"][si]
+            hv = _contig_fold(F, hv, st["s"], st["e"])
+            if nr == 0:
+                continue
+            fs, W0, W1, hv, claim, hp_s, g_s = self._wire_scan(
+                fs, W0, W1, hv, st["h0"], st["h1"], eq0, claim,
+                hp_pad[off : off + nr], nr)
+            hp_parts.append(hp_s)
+            g_parts.append(g_s)
+            off += nr
+        hp_raw = jnp.concatenate(hp_parts, axis=0)
+        g_ch = jnp.concatenate(g_parts, axis=0)
+        return fs, W0, W1, hv, claim, hp_raw, g_ch
+
     def _layer_fn(self, fs, prf_in, claims, bnd_q, bnd_g0, bnd_g1, qd, W,
                   cp_pad, hp_pad, wc_pad,
                   logc: int, nc: int, logv: int, logw: int,
-                  fresh_prf: bool):
+                  fresh_prf: bool, wm_plan=None):
         """One full layer prove (prover_layers.h:185-271) on device.
 
         claims: [L, 2]; bnd_q: [L, >=logc]; bnd_g0/1: [L, >=logv]
@@ -517,8 +676,8 @@ class DeviceSumcheckProver:
         N = 1 << logw
         Wh = _pad_pow2(Wp[..., 0], N, -1)
 
-        fs, W0, W1, hv, claim, hp_raw, g_ch = self._wire_scan(
-            fs, Wh, Wh, hv, qd["h0"], qd["h1"], eq0, claim, hp_pad, logw)
+        fs, W0, W1, hv, claim, hp_raw, g_ch = self._wire_rounds(
+            fs, Wh, hv, qd, eq0, claim, hp_pad, logw, wm_plan)
 
         wc0 = W0[..., 0]
         wc1 = W1[..., 0]
@@ -579,13 +738,13 @@ class DeviceSumcheckProver:
         bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
         leaves = []
         alphas = []
-        for ly, (logv, logw) in enumerate(metas[1]):
+        for ly, (logv, logw, *wmp) in enumerate(metas[1]):
             cp_pad, hp_pad, wc_pad = pads[ly]
             (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
              g1n, alpha) = self._layer_fn(
                 fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qds[ly],
                 inputs[ly], cp_pad, hp_pad, wc_pad, logc, nc, logv, logw,
-                ly > 0)
+                ly > 0, wmp[0] if wmp else None)
             leaves.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
                                hp=hp_raw, g=g_ch))
             alphas.append(alpha)
@@ -609,49 +768,198 @@ class DeviceSumcheckProver:
         flat, _ = jax.tree_util.tree_flatten(tree)
         return _pack_fn(flat)
 
-    def prove_layered(self, circ: Circuit, inputs: List, ts,
-                      pad: Optional[Proof] = None, with_aux: bool = False):
-        """Per-layer program variant for circuits too large to compile
-        fused (one jitted program per layer shape + one jitted pack;
-        ~nl+2 device launches, one fetch)."""
-        F = self.F
-        host_ts = ts.ts
-        fs = dfs.fs_init_from_host(host_ts)
-        if self._begin_jit is None:
-            self._begin_jit = jax.jit(self._begin_circuit_fn)
-        fs, q40, g40, prf = self._begin_jit(fs)
+    # ------------------------------------------------------------------
+    # chunked multi-layer programs (mdoc-scale circuits)
+    # ------------------------------------------------------------------
+    #
+    # Per-program bounds for circuits above K_FUSE_TERM_LIMIT: each
+    # device program covers a run of consecutive layers whose total quad
+    # terms / layer count stay under these, with the sumcheck state
+    # (transcript, claims, bindings) chained BETWEEN programs as device
+    # arrays — no host sync until the final fetch.  This replaces the
+    # one-program-per-layer formulation (38 launches + 38 distinct
+    # compiles for the mdoc circuit pair) with ~8 programs.
+    CHUNK_TERM_BUDGET = int(os.environ.get("LFZK_CHUNK_TERMS", 4_200_000))
+    CHUNK_LAYER_BUDGET = int(os.environ.get("LFZK_CHUNK_LAYERS", 8))
 
-        logc, nc = circ.logc, circ.nc
-        logv = circ.logv
-        bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
-        claims = jnp.zeros((F.L, 2), jnp.uint32)
-        outs = []
+    def _chunks_for(self, circ: Circuit):
+        def nterms(ly):
+            q = circ.layers[ly].quad
+            return len(q.kidx) if q.kidx is not None else len(q.v)
+
+        chunks, cur, cur_t = [], [], 0
         for ly in range(circ.nl):
-            layer = circ.layers[ly]
-            qd = self._quad_dev(layer.quad)
-            logw = layer.logw
-            cp_pad, hp_pad, wc_pad = self._pads_dev(
-                pad.layers[ly] if pad else None, logc, logw)
-            W = inputs[ly]
-            fresh = ly > 0
-            key = ("layer", logc, nc, logv, logw, qd["h0"].shape[0],
-                   W.shape, fresh, bnd_q.shape, bnd_g0.shape)
-            if key not in self._layer_jit:
-                self._layer_jit[key] = jax.jit(
-                    self._layer_fn, static_argnums=(11, 12, 13, 14, 15))
+            t = nterms(ly)
+            if cur and (cur_t + t > self.CHUNK_TERM_BUDGET
+                        or len(cur) >= self.CHUNK_LAYER_BUDGET):
+                chunks.append(cur)
+                cur, cur_t = [], 0
+            cur.append(ly)
+            cur_t += t
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    def _chunk_fn(self, fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qds, Ws,
+                  pads, chunk_meta, logc: int, nc: int, first: bool):
+        """One device program proving len(chunk_meta) consecutive layers.
+        chunk_meta: tuple of (logv, logw).  `first` chunks run
+        begin_circuit inside the program (prf/bnd inputs ignored)."""
+        if first:
+            fs, q40, g40, prf = self._begin_circuit_fn(fs)
+            bnd_q, bnd_g0, bnd_g1 = q40, g40, g40
+        leaves = []
+        for i, (logv, logw, *wmp) in enumerate(chunk_meta):
+            cp_pad, hp_pad, wc_pad = pads[i]
+            fresh = not (first and i == 0)
             (fs, wc, bq, ok, cp_raw, q_ch, hp_raw, g_ch, q_next, g0n,
-             g1n, _alpha) = self._layer_jit[key](
-                fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qd, W,
-                cp_pad, hp_pad, wc_pad, logc, nc, logv, logw, fresh)
-            outs.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
-                             hp=hp_raw, g=g_ch))
+             g1n, _alpha) = self._layer_fn(
+                fs, prf, claims, bnd_q, bnd_g0, bnd_g1, qds[i], Ws[i],
+                cp_pad, hp_pad, wc_pad, logc, nc, logv, logw, fresh,
+                wmp[0] if wmp else None)
+            leaves.append(dict(wc=wc, bq=bq, ok=ok, cp=cp_raw, q=q_ch,
+                               hp=hp_raw, g=g_ch))
             claims = wc
             if logc > 0:
                 bnd_q = q_next
             bnd_g0, bnd_g1 = g0n, g1n
-            logv = logw
-        fs_np, douts = _fetch_packed(fs, outs)
+        flat, _ = jax.tree_util.tree_flatten(leaves)
+        return fs, prf, claims, bnd_q, bnd_g0, bnd_g1, _pack_fn(flat)
+
+    def _chunk_template(self, chunk_meta, logc: int):
+        F = self.F
+        return [dict(wc=((F.L, 2), np.uint32),
+                     bq=((F.L,), np.uint32),
+                     ok=((), np.bool_),
+                     cp=((logc, F.L, 4), np.uint32),
+                     q=((logc, F.L), np.uint32),
+                     hp=((logw, F.L, 2, 3), np.uint32),
+                     g=((logw, F.L, 2), np.uint32))
+                for (_logv, logw, *_r) in chunk_meta]
+
+    def _eval_all_fn(self, W0, qds, nvs, nl: int):
+        """Whole-circuit evaluation as ONE program: returns every
+        layer's input array (device) + the ok flags (incl. the all-
+        outputs-zero honest-prover check)."""
+        F = self.F
+        inputs = [None] * nl
+        inputs[nl - 1] = W0
+        W = W0
+        flags = []
+        for l in range(nl - 1, -1, -1):
+            V, ok = self._eval_layer(qds[l], W, nvs[l])
+            flags.append(ok)
+            if l > 0:
+                inputs[l - 1] = V
+            W = V
+        flags.append(jnp.all(F.is_zero(W)))
+        return inputs, jnp.stack(flags)
+
+    def prove_chunked(self, circ: Circuit, ts, pad: Optional[Proof] = None,
+                      with_aux: bool = False, W0=None,
+                      inputs: Optional[List] = None):
+        """Chunked prove: [optional one-program circuit eval] + one
+        program per layer chunk, state chained on device, one fetch per
+        chunk at the end.  Bit-identical proofs to prove()/the host
+        prover.  With W0, returns (None, None, None) on an unsatisfied
+        witness and leaves the host transcript untouched."""
+        F = self.F
+        host_ts = ts.ts
+        logc, nc = circ.logc, circ.nc
+
+        evalok_dev = None
+        if inputs is None:
+            assert W0 is not None
+            nvs, qde = [], []
+            for ly in range(circ.nl):
+                nvs.append(circ.layers[ly - 1].nw if ly > 0 else circ.nv)
+                qde.append(self._quad_dev_eval(circ.layers[ly].quad,
+                                               nvs[-1]))
+            nvs = tuple(nvs)
+            key = ("evalall", nvs, tuple(q["h0"].shape[0] for q in qde),
+                   W0.shape)
+            if key not in self._layer_jit:
+                nl = circ.nl
+
+                def fn(W0, qds):
+                    return self._eval_all_fn(W0, qds, nvs, nl)
+
+                self._layer_jit[key] = jax.jit(fn)
+            inputs, evalok_dev = self._layer_jit[key](W0, qde)
+
+        fs = dfs.fs_init_from_host(host_ts)
+        claims = jnp.zeros((F.L, 2), jnp.uint32)
+        prf = fs  # placeholder; first chunk computes the real one
+        bnd_q = bnd_g0 = bnd_g1 = jnp.zeros((F.L, 0), jnp.uint32)
+
+        logv = circ.logv
+        metas_all = []
+        wm_arrs = []
+        for ly in range(circ.nl):
+            layer = circ.layers[ly]
+            plan, arrs = self._wm_for(layer.quad, layer.logw)
+            metas_all.append((logv, layer.logw, plan))
+            wm_arrs.append(arrs)
+            logv = layer.logw
+
+        packed_chunks = []
+        templates = []
+        for ci, lys in enumerate(self._chunks_for(circ)):
+            qds = [{**self._quad_dev(circ.layers[ly].quad),
+                    **(wm_arrs[ly] or {})} for ly in lys]
+            Ws = [inputs[ly] for ly in lys]
+            pads = [self._pads_dev(
+                pad.layers[ly] if pad else None, logc,
+                circ.layers[ly].logw) for ly in lys]
+            chunk_meta = tuple(metas_all[ly] for ly in lys)
+            first = ci == 0
+            key = ("chunk", chunk_meta, logc, nc, first,
+                   tuple(q["h0"].shape[0] for q in qds),
+                   tuple(W.shape for W in Ws),
+                   bnd_q.shape, bnd_g0.shape)
+            if key not in self._layer_jit:
+                self._layer_jit[key] = jax.jit(
+                    self._chunk_fn, static_argnums=(9, 10, 11, 12))
+            (fs, prf, claims, bnd_q, bnd_g0, bnd_g1, packed) = \
+                self._layer_jit[key](fs, prf, claims, bnd_q, bnd_g0,
+                                     bnd_g1, qds, Ws, pads, chunk_meta,
+                                     logc, nc, first)
+            packed_chunks.append(packed)
+            templates.append(self._chunk_template(chunk_meta, logc))
+
+        # ONE final pack launch + ONE device->host fetch for everything
+        # (chunk outputs, transcript state, eval flags) — per-buffer
+        # readbacks each pay a relay round trip.
+        tail = [fs["h"], fs["buf"], fs["cnt"]]
+        if evalok_dev is not None:
+            tail.append(evalok_dev)
+        leaves = packed_chunks + tail
+        pkey = tuple((x.shape, str(x.dtype)) for x in leaves)
+        if pkey not in _PACK_JIT:
+            _PACK_JIT[pkey] = jax.jit(_pack_fn)
+        allp = np.asarray(_PACK_JIT[pkey](leaves))
+        off = 0
+        douts = []
+        for packed, tmpl in zip(packed_chunks, templates):
+            n = int(packed.shape[0])
+            douts.extend(_unpack_list(allp[off : off + n], tmpl))
+            off += n
+        fs_np = dict(h=allp[off : off + 8].astype(np.uint32),
+                     buf=allp[off + 8 : off + 72].astype(np.uint8),
+                     cnt=allp[off + 72].astype(np.uint32))
+        off += 73
+        if evalok_dev is not None:
+            nl = circ.nl + 1
+            if not allp[off : off + nl].astype(bool).all():
+                return None, None, None
         return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
+
+    def prove_layered(self, circ: Circuit, inputs: List, ts,
+                      pad: Optional[Proof] = None, with_aux: bool = False):
+        """Chunked-program variant for circuits too large to compile
+        fused (see prove_chunked)."""
+        return self.prove_chunked(circ, ts, pad=pad, with_aux=with_aux,
+                                  inputs=inputs)
 
     def prove(self, circ: Circuit, inputs: List, ts,
               pad: Optional[Proof] = None, with_aux: bool = False):
@@ -674,10 +982,12 @@ class DeviceSumcheckProver:
         pads = []
         for ly in range(circ.nl):
             layer = circ.layers[ly]
-            qds.append(self._quad_dev(layer.quad))
+            plan, arrs = self._wm_for(layer.quad, layer.logw)
+            qd = self._quad_dev(layer.quad)
+            qds.append({**qd, **arrs} if arrs else qd)
             pads.append(self._pads_dev(
                 pad.layers[ly] if pad else None, logc, layer.logw))
-            layer_meta.append((logv, layer.logw))
+            layer_meta.append((logv, layer.logw, plan))
             logv = layer.logw
         metas = ((logc, nc), tuple(layer_meta))
 
@@ -696,9 +1006,11 @@ class DeviceSumcheckProver:
         return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
 
     # Above this many total quad terms the all-layers-fused program is
-    # split per layer: the XLA compile of the fully fused mdoc-scale
-    # graph (17 layers x millions of terms) OOMs the compile helper.
-    K_FUSE_TERM_LIMIT = 1_500_000
+    # split into chunked programs (prove_chunked): one giant fused graph
+    # compiles for tens of minutes through the TPU remote-compile relay
+    # (and OOMs its helper at mdoc scale), while chunked programs
+    # compile in minutes each and cost only ~one extra launch per chunk.
+    K_FUSE_TERM_LIMIT = int(os.environ.get("LFZK_FUSE_TERMS", 300_000))
 
     def prove_with_witness(self, circ: Circuit, W0, ts,
                            pad: Optional[Proof] = None,
@@ -709,14 +1021,8 @@ class DeviceSumcheckProver:
         host transcript is left untouched)."""
         F = self.F
         if circ.nterms() > self.K_FUSE_TERM_LIMIT:
-            inputs, finalV = self.eval_circuit(circ, W0)
-            if finalV is None:
-                return None, None, None
-            out = F.from_limbs(np.asarray(finalV))
-            if any(v != 0 and v != (0, 0) for v in np.ravel(out)):
-                return None, None, None
-            return self.prove_layered(circ, inputs, ts, pad=pad,
-                                      with_aux=with_aux)
+            return self.prove_chunked(circ, ts, pad=pad,
+                                      with_aux=with_aux, W0=W0)
         host_ts = ts.ts
         fs = dfs.fs_init_from_host(host_ts)
 
@@ -729,10 +1035,12 @@ class DeviceSumcheckProver:
         for ly in range(circ.nl):
             layer = circ.layers[ly]
             nvs.append(circ.layers[ly - 1].nw if ly > 0 else circ.nv)
-            qds.append(self._quad_dev_eval(layer.quad, nvs[-1]))
+            plan, arrs = self._wm_for(layer.quad, layer.logw)
+            qd = self._quad_dev_eval(layer.quad, nvs[-1])
+            qds.append({**qd, **arrs} if arrs else qd)
             pads.append(self._pads_dev(
                 pad.layers[ly] if pad else None, logc, layer.logw))
-            layer_meta.append((logv, layer.logw))
+            layer_meta.append((logv, layer.logw, plan))
             logv = layer.logw
         metas = ((logc, nc), tuple(layer_meta))
         nvs = tuple(nvs)

@@ -72,11 +72,17 @@ class BatchZkProver:
     """Proves batches of witnesses for one circuit (same shapes, same
     Ligero parameters — the serving configuration)."""
 
-    def __init__(self, circ: Circuit, F, rs_factory, rate: int, nreq: int):
+    def __init__(self, circ: Circuit, F, rs_factory, rate: int, nreq: int,
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh — shards the PROOF axis over
+        the mesh's first axis (pure data parallelism: each chip proves
+        its slice of the batch, no cross-chip traffic; the serving-fleet
+        scale axis)."""
         self.circ = circ
         self.F = F
         self.rate = rate
         self.nreq = nreq
+        self.mesh = mesh
         self.rs_factory = rs_factory
         # a template scalar prover provides param/lqc/static data
         self.proto = ZkProver(circ, F, rs_factory, rate=rate, nreq=nreq)
@@ -110,9 +116,9 @@ class BatchZkProver:
             commit_in.append((arr_b, arr_d, nonces, nonce_arr))
 
         # ---- launch 1: batched commit --------------------------------
-        arr_b = jnp.asarray(np.stack([x[0] for x in commit_in]))
-        arr_d = jnp.asarray(np.stack([x[1] for x in commit_in]))
-        nonce = jnp.asarray(np.stack([x[3] for x in commit_in]))
+        arr_b = self._dp(jnp.asarray(np.stack([x[0] for x in commit_in])))
+        arr_d = self._dp(jnp.asarray(np.stack([x[1] for x in commit_in])))
+        nonce = self._dp(jnp.asarray(np.stack([x[3] for x in commit_in])))
         ckey = ("bcommit", provers[0].lp.fp, arr_b.shape, arr_d.shape)
         if ckey not in _JIT:
             _JIT[ckey] = jax.jit(jax.vmap(
@@ -139,10 +145,14 @@ class BatchZkProver:
             initialize_sumcheck_fiat_shamir(ts_list[i], c, W_list[i], F)
             zkps.append(zkp)
 
-        # Circuits past the one-program compile budget use the phased
-        # batch (see ZkProver.K_ZKFUSE_TERM_LIMIT).
-        if (c.logc > 0 or c.nterms() > ZkProver.K_ZKFUSE_TERM_LIMIT
-                or type(F).__name__ == "Fp2"):
+        # Fp2's (2, L, ...) limb layout and circuits past the vmapped
+        # single-program sumcheck budget take the per-proof scalar path;
+        # mid-size circuits past the one-program ZK budget use the
+        # 4-launch phased batch (see ZkProver.K_ZKFUSE_TERM_LIMIT).
+        if (type(F).__name__ == "Fp2"
+                or c.nterms() > sc.K_FUSE_TERM_LIMIT):
+            return self._scalar_fallback(W_list, ts_list, provers, zkps)
+        if c.logc > 0 or c.nterms() > ZkProver.K_ZKFUSE_TERM_LIMIT:
             return self._phased_batch(W_list, ts_list, provers, zkps,
                                       tableau)
 
@@ -153,21 +163,24 @@ class BatchZkProver:
         for ly in range(c.nl):
             layer = c.layers[ly]
             nvs.append(c.layers[ly - 1].nw if ly > 0 else c.nv)
-            qds.append(sc._quad_dev_eval(layer.quad, nvs[-1]))
-            layer_meta.append((logv, layer.logw))
+            plan, arrs = sc._wm_for(layer.quad, layer.logw)
+            qd = sc._quad_dev_eval(layer.quad, nvs[-1])
+            qds.append({**qd, **arrs} if arrs else qd)
+            layer_meta.append((logv, layer.logw, plan))
             logv = layer.logw
         metas = ((logc, nc), tuple(layer_meta))
         nvs = tuple(nvs)
 
-        pads_b = _stack([
+        pads_b = self._dp_tree(_stack([
             [sc._pads_dev(pr.pad.layers[ly], logc, c.layers[ly].logw)
              for ly in range(c.nl)]
-            for pr in provers])
-        fs_b = _stack([dfs.fs_init_from_host(ts) for ts in ts_list])
-        W0_b = jnp.asarray(np.stack([
+            for pr in provers]))
+        fs_b = self._dp_tree(_stack(
+            [dfs.fs_init_from_host(ts) for ts in ts_list]))
+        W0_b = self._dp(jnp.asarray(np.stack([
             np.asarray(F.to_limbs(W)).reshape(F.L, c.ninputs, 1)
-            for W in W_list]))
-        claims_b = jnp.zeros((B, F.L, 2), jnp.uint32)
+            for W in W_list])))
+        claims_b = self._dp(jnp.zeros((B, F.L, 2), jnp.uint32))
 
         stat = self.stat
         lp0 = provers[0].lp
@@ -193,6 +206,51 @@ class BatchZkProver:
         return self._assemble_fused(packed, template, provers, zkps,
                                     ts_list)
 
+    def _dp(self, x):
+        """Shard a [B, ...] stacked array over the mesh's first axis
+        (data-parallel proof axis); identity without a mesh."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        return jax.device_put(
+            x, NamedSharding(self.mesh, P(ax, *([None] * (x.ndim - 1)))))
+
+    def _dp_tree(self, tree):
+        return jax.tree_util.tree_map(self._dp, tree)
+
+    def _scalar_fallback(self, W_list, ts_list, provers, zkps
+                         ) -> List[bytes]:
+        """Per-proof prove loop for shapes the vmapped pipelines don't
+        cover (Fp2 limb layout; circuits beyond the single-program
+        sumcheck budget, which prove chunked).  Commit was already
+        batched; proof bytes match the scalar ZkProver."""
+        from ..sumcheck.transcript_sumcheck import TranscriptSumcheck
+
+        c, F, p = self.circ, self.F, self.param
+        sc = self.proto.sumcheck
+        lead = (8,) if F.kCharacteristicTwo else \
+            ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
+        out = []
+        for i, pr in enumerate(provers):
+            ts = ts_list[i]
+            tst = ts.clone()
+            W0 = jnp.asarray(F.to_limbs(W_list[i])).reshape(
+                lead + (c.ninputs, 1))
+            proof, aux, _ = sc.prove_with_witness(
+                c, W0, TranscriptSumcheck(tst, F), pad=pr.pad,
+                with_aux=True)
+            assert proof is not None, \
+                f"witness {i} does not satisfy the circuit"
+            zkps[i].proof = proof
+            a, _b, ci = verifier_constraints(
+                c, W_list[i], proof, aux, ts, self.proto.n_witness, F)
+            zkps[i].com_proof = pr.lp.prove(ts, ci, a, HASH_OF_A,
+                                            self.lqc)
+            out.append(write_zk_proof(zkps[i], c, p, F))
+        return out
+
     def _phased_batch(self, W_list, ts_list, provers, zkps,
                       tableau) -> List[bytes]:
         """Batched phased flow for circuits past the one-program budget:
@@ -213,8 +271,10 @@ class BatchZkProver:
         for ly in range(c.nl):
             layer = c.layers[ly]
             nvs.append(c.layers[ly - 1].nw if ly > 0 else c.nv)
-            qds.append(sc._quad_dev_eval(layer.quad, nvs[-1]))
-            layer_meta.append((logv, layer.logw))
+            plan, arrs = sc._wm_for(layer.quad, layer.logw)
+            qd = sc._quad_dev_eval(layer.quad, nvs[-1])
+            qds.append({**qd, **arrs} if arrs else qd)
+            layer_meta.append((logv, layer.logw, plan))
             logv = layer.logw
         metas = ((logc, nc), tuple(layer_meta))
         nvs = tuple(nvs)
@@ -224,11 +284,12 @@ class BatchZkProver:
              for ly in range(c.nl)]
             for pr in provers])
         tsts = [ts.clone() for ts in ts_list]
-        fs_b = _stack([dfs.fs_init_from_host(t) for t in tsts])
-        W0_b = jnp.asarray(np.stack([
+        fs_b = self._dp_tree(_stack(
+            [dfs.fs_init_from_host(t) for t in tsts]))
+        W0_b = self._dp(jnp.asarray(np.stack([
             np.asarray(F.to_limbs(W)).reshape(F.L, c.ninputs, 1)
-            for W in W_list]))
-        claims_b = jnp.zeros((B, F.L, 2), jnp.uint32)
+            for W in W_list])))
+        claims_b = self._dp(jnp.zeros((B, F.L, 2), jnp.uint32))
 
         skey = ("bprovew", F.name, metas, nvs, B,
                 tuple(q["h0"].shape[0] for q in qds), W0_b.shape)

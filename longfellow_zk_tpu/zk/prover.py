@@ -31,9 +31,15 @@ from .proof import ZkProof
 
 class ZkProver:
     def __init__(self, circ: Circuit, F, rs_factory, rate: int, nreq: int,
-                 block_enc: Optional[int] = None):
+                 block_enc: Optional[int] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh — runs the production prover
+        multi-chip: Ligero tableau rows shard over the mesh's first
+        axis, and the sumcheck's data-parallel copy axis (nc) shards
+        over its last axis (prover_layers.h:34-36, SURVEY §2.15).
+        Proof bytes are identical to the single-device run."""
         self.circ = circ
         self.F = F
+        self.mesh = mesh
         self.rs_factory = rs_factory
         self.n_witness = circ.ninputs - circ.npub_in
         self.param = LigeroParam(
@@ -53,7 +59,8 @@ class ZkProver:
         self.witness = list(W_host[c.npub_in : c.ninputs])
         subfield_boundary = max(0, c.subfield_boundary - c.npub_in)
         self._fill_pad(rng)
-        self.lp = LigeroProver(self.param, F, self.rs_factory)
+        self.lp = LigeroProver(self.param, F, self.rs_factory,
+                               mesh=self.mesh)
         zkp.com = self.lp.commit(ts, self.witness, subfield_boundary,
                                  self.lqc, rng)
 
@@ -82,7 +89,10 @@ class ZkProver:
             saved = ts.export_state()
             try:
                 return self._prove_fused(zkp, W_host, ts)
-            except Exception as e:  # pragma: no cover - backend-dependent
+            except (RuntimeError, OSError) as e:
+                # backend/compile failures only (XlaRuntimeError is a
+                # RuntimeError); programming errors must propagate, not
+                # silently double the device work via the fallback
                 from ..utils.log import log, WARNING
                 log(WARNING, "fused prove failed (%s); phased fallback",
                     type(e).__name__)
@@ -98,7 +108,20 @@ class ZkProver:
         # device witness [L.., ninputs, 1]
         lead = (8,) if F.kCharacteristicTwo else \
             ((2, F.L) if type(F).__name__ == "Fp2" else (F.L,))
-        W0 = jnp.asarray(F.to_limbs(W_host)).reshape(lead + (c.ninputs, 1))
+        # W_host is wire-major, copy-minor (flat[w*nc + c]); the device
+        # witness keeps the copy axis explicit
+        W0 = jnp.asarray(F.to_limbs(W_host)).reshape(
+            lead + (c.ninputs // c.nc, c.nc))
+        if self.mesh is not None and c.nc > 1:
+            # copy-parallel circuits: shard the copy axis (the wire axis
+            # stays local; reductions over copies become one psum of
+            # integer byte-column accumulators — exact)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ax = self.mesh.axis_names[-1]
+            if c.nc % self.mesh.shape[ax] == 0:
+                W0 = jax.device_put(W0, NamedSharding(
+                    self.mesh, P(*([None] * len(lead)), None, ax)))
         # fused evaluation + sumcheck: one device program, one fetch
         tsts = TranscriptSumcheck(tst, F)
         proof, aux, _bnd = self.sumcheck.prove_with_witness(
@@ -172,10 +195,12 @@ class ZkProver:
         for ly in range(c.nl):
             layer = c.layers[ly]
             nvs.append(c.layers[ly - 1].nw if ly > 0 else c.nv)
-            qds.append(sc._quad_dev_eval(layer.quad, nvs[-1]))
+            plan, arrs = sc._wm_for(layer.quad, layer.logw)
+            qd = sc._quad_dev_eval(layer.quad, nvs[-1])
+            qds.append({**qd, **arrs} if arrs else qd)
             pads.append(sc._pads_dev(
                 self.pad.layers[ly] if self.pad else None, logc, layer.logw))
-            layer_meta.append((logv, layer.logw))
+            layer_meta.append((logv, layer.logw, plan))
             logv = layer.logw
         metas = ((logc, nc), tuple(layer_meta))
         nvs = tuple(nvs)

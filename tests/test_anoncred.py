@@ -72,6 +72,61 @@ def _run(cred_cls, now: bytes, attrs, rng, corrupt=None):
     cred.assert_credential(pkX, pkY, hash_tr, oas, now_w, vw)
 
 
+@pytest.mark.slow
+def test_anoncred_small_compiled_zk():
+    """Compiled prove+verify for the Small anonymous credential
+    (reference small_test.cc ZK tests)."""
+    from longfellow_zk_tpu.compiler.logic import CompilerBackend
+    from longfellow_zk_tpu.compiler.quad_circuit import QuadCircuit, dump_info
+    from longfellow_zk_tpu.fields.fp_instances import (
+        P256_FP2_ROOT_ORDER, P256_FP2_ROOT_X, P256_FP2_ROOT_Y)
+    from longfellow_zk_tpu.fields.fp2 import Fp2
+    from longfellow_zk_tpu.zk.testing import (
+        rs_factory_for, run_failing_test_zk, run_test_zk)
+
+    rng = random.Random(6)
+    now = b"20241005"
+    attrs = [(0, b"Erika")]
+    ec, mdoc, pk, (r, s), transcript, e2, (dr, ds) = _make_credential(rng)
+    F = p256_base()
+    sw = SmallWitness(ec, F, max_blocks=Small.kMaxSHABlocks)
+    sw.compute_witness(pk.x, pk.y, mdoc, transcript, r, s, dr, ds)
+
+    qc = QuadCircuit(F)
+    L = Logic(CompilerBackend(qc), F)
+    cred = Small(L, ec, ec.order)
+    pkX, pkY, hash_tr = L.eltw_input(), L.eltw_input(), L.eltw_input()
+    oas = [OpenedAttribute.input(L) for _ in attrs]
+    now_w = [L.vinput(8) for _ in now]
+    qc.private_input()
+    vw = cred.witness_input()
+    cred.assert_credential(pkX, pkY, hash_tr, oas, now_w, vw)
+    circ = qc.mkcircuit(nc=1)
+    print(dump_info("anoncred_small", qc))
+
+    W = [1, pk.x, pk.y, e2 % F.p]
+    for ind, val in attrs:
+        W.extend(F.of_scalar((ind >> i) & 1) for i in range(8))
+        W.extend(F.of_scalar((len(val) >> i) & 1) for i in range(8))
+        padded = val + bytes(32 - len(val))
+        for byte in padded:
+            W.extend(F.of_scalar((byte >> i) & 1) for i in range(8))
+    for b in now:
+        W.extend(F.of_scalar((b >> i) & 1) for i in range(8))
+    W.extend(sw.fill())
+    assert len(W) == circ.ninputs, (len(W), circ.ninputs)
+
+    rs = rs_factory_for(F, F2=Fp2(F),
+                        omega2=(P256_FP2_ROOT_X, P256_FP2_ROOT_Y),
+                        omega_order=P256_FP2_ROOT_ORDER)
+    ok, why = run_test_zk(circ, W, W[: circ.npub_in], F, rs)
+    assert ok, why
+
+    W2 = list(W)
+    W2[circ.npub_in + 2] = (W2[circ.npub_in + 2] + 1) % F.p
+    assert run_failing_test_zk(circ, W2, F, rs)
+
+
 def test_small_credential_ok():
     rng = random.Random(1)
     _run(Small, b"20241005",

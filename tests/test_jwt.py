@@ -83,6 +83,65 @@ def test_jwt_witness_and_eval_backend():
     jwt.assert_jwt_attributes(pkX, pkY, e2, oa, vw)
 
 
+def _compile_jwt_circuit(num_attrs: int):
+    """Compile the JWT circuit over the P-256 base field (the reference
+    proves this with the real stack, jwt_test.cc:477 run2_test_zk)."""
+    from longfellow_zk_tpu.compiler.logic import CompilerBackend
+    from longfellow_zk_tpu.compiler.quad_circuit import QuadCircuit
+
+    ec = p256_curve()
+    F = p256_base()
+    qc = QuadCircuit(F)
+    L = Logic(CompilerBackend(qc), F)
+    jwt = JWT(L, ec, ec.order, MAX_BLOCKS)
+    pkX = L.eltw_input()
+    pkY = L.eltw_input()
+    e2 = L.eltw_input()
+    oa = [JwtOpenedAttributeW(L) for _ in range(num_attrs)]
+    qc.private_input()
+    vw = JwtWitnessW(L, jwt.sha, MAX_BLOCKS, num_attrs, ec.kBits)
+    jwt.assert_jwt_attributes(pkX, pkY, e2, oa, vw)
+    return ec, F, qc.mkcircuit(nc=1), qc
+
+
+@pytest.mark.slow
+def test_jwt_compiled_zk():
+    """Full compiled prove+verify + bad-witness rejection
+    (jwt_test.cc:477-559 run2_test_zk / run2_failing_test_zk)."""
+    from longfellow_zk_tpu.compiler.quad_circuit import dump_info
+    from longfellow_zk_tpu.fields.fp_instances import (
+        P256_FP2_ROOT_ORDER, P256_FP2_ROOT_X, P256_FP2_ROOT_Y)
+    from longfellow_zk_tpu.fields.fp2 import Fp2
+    from longfellow_zk_tpu.zk.testing import (
+        rs_factory_for, run_failing_test_zk, run_test_zk)
+
+    rng = random.Random(79)
+    ec, pk, token = _make_token(rng)
+    attrs = [OpenedAttribute(id=b"age_over_18", value=b"yes")]
+    w = JWTWitness(ec, MAX_BLOCKS)
+    w.compute_witness(token, pk.x, pk.y, attrs)
+
+    _ec, F, circ, qc = _compile_jwt_circuit(len(attrs))
+    print(dump_info("jwt", qc))
+
+    pub = [1, pk.x, pk.y, w.e2 % F.p]
+    for a in attrs:
+        pub.extend(fill_attribute_public(F, a))
+    W = pub + w.fill_witness(F)
+    assert len(W) == circ.ninputs, (len(W), circ.ninputs)
+
+    rs = rs_factory_for(F, F2=Fp2(F),
+                        omega2=(P256_FP2_ROOT_X, P256_FP2_ROOT_Y),
+                        omega_order=P256_FP2_ROOT_ORDER)
+    ok, why = run_test_zk(circ, W, W[: circ.npub_in], F, rs)
+    assert ok, why
+
+    # flip one witness wire: the prover must refuse
+    W2 = list(W)
+    W2[circ.npub_in + 3] = (W2[circ.npub_in + 3] + 1) % F.p
+    assert run_failing_test_zk(circ, W2, F, rs)
+
+
 def test_jwt_wrong_attribute_fails():
     rng = random.Random(78)
     ec, pk, token = _make_token(rng)
