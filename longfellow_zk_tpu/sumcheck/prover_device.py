@@ -855,6 +855,26 @@ class DeviceSumcheckProver:
         flags.append(jnp.all(F.is_zero(W)))
         return inputs, jnp.stack(flags)
 
+    def _eval_chunk_fn(self, W_in, qds, nvs_chunk, has_layer0: bool):
+        """Evaluate a run of consecutive layers (given in ascending
+        layer order; evaluation walks them in reverse) from the carried
+        input W_in.  Returns the per-layer outputs (in evaluation order,
+        deepest first) + ok flags.  One program per chunk: the
+        whole-circuit eval graph at mdoc scale (17 prefix scans over
+        7.7M terms) OOMs the remote-compile helper."""
+        F = self.F
+        W = W_in
+        outs = []
+        flags = []
+        for i in range(len(qds) - 1, -1, -1):
+            V, ok = self._eval_layer(qds[i], W, nvs_chunk[i])
+            flags.append(ok)
+            outs.append(V)
+            W = V
+        if has_layer0:
+            flags.append(jnp.all(F.is_zero(W)))
+        return outs, jnp.stack(flags)
+
     def prove_chunked(self, circ: Circuit, ts, pad: Optional[Proof] = None,
                       with_aux: bool = False, W0=None,
                       inputs: Optional[List] = None):
@@ -867,25 +887,34 @@ class DeviceSumcheckProver:
         host_ts = ts.ts
         logc, nc = circ.logc, circ.nc
 
-        evalok_dev = None
+        eval_flags = []
+        chunks = self._chunks_for(circ)
         if inputs is None:
             assert W0 is not None
-            nvs, qde = [], []
+            nvs = []
             for ly in range(circ.nl):
                 nvs.append(circ.layers[ly - 1].nw if ly > 0 else circ.nv)
-                qde.append(self._quad_dev_eval(circ.layers[ly].quad,
-                                               nvs[-1]))
-            nvs = tuple(nvs)
-            key = ("evalall", nvs, tuple(q["h0"].shape[0] for q in qde),
-                   W0.shape)
-            if key not in self._layer_jit:
-                nl = circ.nl
+            inputs = [None] * circ.nl
+            inputs[circ.nl - 1] = W0
+            W = W0
+            for lys in reversed(chunks):
+                qde = [self._quad_dev_eval(circ.layers[ly].quad, nvs[ly])
+                       for ly in lys]
+                nvs_chunk = tuple(nvs[ly] for ly in lys)
+                has0 = lys[0] == 0
+                key = ("evalchunk", nvs_chunk, has0,
+                       tuple(q["h0"].shape[0] for q in qde), W.shape)
+                if key not in self._layer_jit:
+                    def fn(W_in, qds, _nvs=nvs_chunk, _h0=has0):
+                        return self._eval_chunk_fn(W_in, qds, _nvs, _h0)
 
-                def fn(W0, qds):
-                    return self._eval_all_fn(W0, qds, nvs, nl)
-
-                self._layer_jit[key] = jax.jit(fn)
-            inputs, evalok_dev = self._layer_jit[key](W0, qde)
+                    self._layer_jit[key] = jax.jit(fn)
+                outs, flags = self._layer_jit[key](W, qde)
+                eval_flags.append(flags)
+                for i, ly in enumerate(reversed(lys)):
+                    if ly > 0:
+                        inputs[ly - 1] = outs[i]
+                W = outs[-1]
 
         fs = dfs.fs_init_from_host(host_ts)
         claims = jnp.zeros((F.L, 2), jnp.uint32)
@@ -904,7 +933,7 @@ class DeviceSumcheckProver:
 
         packed_chunks = []
         templates = []
-        for ci, lys in enumerate(self._chunks_for(circ)):
+        for ci, lys in enumerate(chunks):
             qds = [{**self._quad_dev(circ.layers[ly].quad),
                     **(wm_arrs[ly] or {})} for ly in lys]
             Ws = [inputs[ly] for ly in lys]
@@ -930,9 +959,7 @@ class DeviceSumcheckProver:
         # ONE final pack launch + ONE device->host fetch for everything
         # (chunk outputs, transcript state, eval flags) — per-buffer
         # readbacks each pay a relay round trip.
-        tail = [fs["h"], fs["buf"], fs["cnt"]]
-        if evalok_dev is not None:
-            tail.append(evalok_dev)
+        tail = [fs["h"], fs["buf"], fs["cnt"]] + eval_flags
         leaves = packed_chunks + tail
         pkey = tuple((x.shape, str(x.dtype)) for x in leaves)
         if pkey not in _PACK_JIT:
@@ -948,9 +975,9 @@ class DeviceSumcheckProver:
                      buf=allp[off + 8 : off + 72].astype(np.uint8),
                      cnt=allp[off + 72].astype(np.uint32))
         off += 73
-        if evalok_dev is not None:
-            nl = circ.nl + 1
-            if not allp[off : off + nl].astype(bool).all():
+        if eval_flags:
+            nflags = circ.nl + 1
+            if not allp[off : off + nflags].astype(bool).all():
                 return None, None, None
         return self._assemble(circ, pad, with_aux, fs_np, douts, host_ts)
 

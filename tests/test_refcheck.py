@@ -188,3 +188,77 @@ def test_refcheck_gf2128(refcheck_cli, tmp_path):
 @pytest.mark.slow
 def test_refcheck_p256(refcheck_cli, tmp_path):
     _interop(refcheck_cli, tmp_path, p256_base(), "p256", P256_ID, seed=33)
+
+
+# ---------------------------------------------------------------------------
+# mdoc-scale interop (the reference's own bar: bit-level proof interop
+# on the real application, rust/README.md:45)
+# ---------------------------------------------------------------------------
+
+MDOC_CLI = REFCHECK_DIR / "_build" / "mdoc_bench_cli"
+
+
+def _mdoc_fixture():
+    import json as _json
+
+    from longfellow_zk_tpu.circuits.mdoc.zk_spec import (
+        find_zk_spec_by_version)
+
+    spec = find_zk_spec_by_version(7, 1)
+    cpath = pathlib.Path("/root/reference/lib/circuits/mdoc/circuits") \
+        / spec.circuit_hash
+    if not cpath.exists():
+        pytest.skip("reference mdoc circuits not present")
+    ex = _json.load(open(pathlib.Path(__file__).parent.parent
+                         / "artifacts" / "mdoc_examples.json"))[0]
+    return spec, cpath, ex
+
+
+@pytest.mark.slow
+def test_mdoc_interop_ref_proof_verifies_here(tmp_path):
+    """REFERENCE C++ run_mdoc_prover proof bytes -> OUR
+    run_mdoc_verifier (mdoc_zk.h:180-192)."""
+    from longfellow_zk_tpu.circuits.mdoc import api
+    from longfellow_zk_tpu.circuits.mdoc.witness import RequestedAttribute
+
+    spec, cpath, ex = _mdoc_fixture()
+    if not MDOC_CLI.exists():
+        subprocess.run(["sh", str(REFCHECK_DIR / "build.sh")], check=True,
+                       capture_output=True, timeout=900)
+    pf = tmp_path / "ref_proof.bin"
+    out = subprocess.run([str(MDOC_CLI), str(cpath), "prove-out", str(pf)],
+                         capture_output=True, text=True, timeout=600)
+    assert "INTEROP_PROVE_OK" in out.stdout, out.stderr
+    cb = cpath.read_bytes()
+    ok = api.run_mdoc_verifier(
+        cb, int(ex["pkx"], 16), int(ex["pky"], 16),
+        bytes.fromhex(ex["transcript"]),
+        [RequestedAttribute(id=b"age_over_18", cbor_value=b"\xf5")],
+        ex["now"].encode(), pf.read_bytes(),
+        b"org.iso.18013.5.1.mDL", spec)
+    assert ok
+
+
+@pytest.mark.slow
+def test_mdoc_interop_our_proof_verifies_there(tmp_path):
+    """OUR run_mdoc_prover proof bytes -> REFERENCE C++
+    run_mdoc_verifier."""
+    from longfellow_zk_tpu.circuits.mdoc import api
+    from longfellow_zk_tpu.circuits.mdoc.witness import RequestedAttribute
+    from longfellow_zk_tpu.random_oracle.engine import SecureRandomEngine
+
+    spec, cpath, ex = _mdoc_fixture()
+    if not MDOC_CLI.exists():
+        subprocess.run(["sh", str(REFCHECK_DIR / "build.sh")], check=True,
+                       capture_output=True, timeout=900)
+    cb = cpath.read_bytes()
+    proof = api.run_mdoc_prover(
+        cb, bytes.fromhex(ex["mdoc"]), int(ex["pkx"], 16),
+        int(ex["pky"], 16), bytes.fromhex(ex["transcript"]),
+        [RequestedAttribute(id=b"age_over_18", cbor_value=b"\xf5")],
+        ex["now"].encode(), spec, rng=SecureRandomEngine())
+    pf = tmp_path / "our_proof.bin"
+    pf.write_bytes(proof)
+    out = subprocess.run([str(MDOC_CLI), str(cpath), "verify-in", str(pf)],
+                         capture_output=True, text=True, timeout=600)
+    assert "INTEROP_VERIFY_OK" in out.stdout, (out.stdout, out.stderr)
