@@ -9,6 +9,7 @@ decrypt the transcript into something the sumcheck verifier accepts.
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import jax.numpy as jnp
@@ -68,9 +69,10 @@ class ZkProver:
     # responses, zk/fused.py) compiles a much larger graph per term than
     # the sumcheck-only program: at SHA scale (267k terms) it OOMs the
     # TPU remote-compile helper (SIGKILL).  Keep the one-launch path for
-    # small circuits only; larger ones use the phased flow whose three
-    # programs each stay within the compile budget.
-    K_ZKFUSE_TERM_LIMIT = 100_000
+    # small circuits only; larger ones use the phased flow whose
+    # programs each stay within the compile budget (chained launches are
+    # cheap; one giant compile is the expensive, fragile part).
+    K_ZKFUSE_TERM_LIMIT = int(os.environ.get("LFZK_ZKFUSE_TERMS", 20_000))
 
     def prove(self, zkp: ZkProof, W_host: List, ts) -> bool:
         """(zk_prover.h:102-149).
