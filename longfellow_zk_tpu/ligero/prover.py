@@ -169,6 +169,15 @@ class LigeroProver:
         arr_b = jnp.asarray(arr_b)
         arr_d = jnp.asarray(arr_d)
 
+        # LFZK_HOST_MERKLE=1: device RS encode + tableau only, column
+        # hashing + Merkle on the host (native C SHA-256).  Same root,
+        # same proof bytes — a fallback for relay compile budgets where
+        # the fully-fused commit program is too expensive to compile.
+        import os as _os
+
+        if _os.environ.get("LFZK_HOST_MERKLE") == "1":
+            return self._commit_host_merkle(ts, arr_b, arr_d, nonces)
+
         # One device program: RS encode + tableau + natural serialization
         # + per-column leaf hashing + Merkle tree reduce.  Only the leaf
         # digests and the root cross the host boundary (the tableau
@@ -203,6 +212,28 @@ class LigeroProver:
         root = self.mc.commit_leaves(leaves, nonces)
         assert root == np.asarray(root_dev).tobytes(), \
             "device/host Merkle root mismatch"
+        commitment = LigeroCommitment(root=root)
+        write_commitment(commitment, ts)
+        return commitment
+
+    def _commit_host_merkle(self, ts, arr_b, arr_d, nonces):
+        """Commit with device RS encode + host column hashing (same
+        root/proof bytes as the fused program)."""
+        from ..utils.crypto import sha256 as _sha256
+
+        p, F = self.p, self.F
+        key = ("committ", self.fp, arr_b.shape, arr_d.shape)
+        if key not in _JIT_CACHE:
+            _JIT_CACHE[key] = jax.jit(self._commit_fn)
+        tableau, nat = _JIT_CACHE[key](arr_b, arr_d)
+        self.tableau_dev = tableau
+        nat_np = np.asarray(nat)
+        bya = F.natural_limbs_to_bytes_np(nat_np)  # [nrow, block_enc, kB]
+        ext = bya[:, p.dblock :, :]  # [nrow, block_ext, kB]
+        cols = np.transpose(ext, (1, 0, 2)).reshape(p.block_ext, -1)
+        leaves = [_sha256(nonces[j] + cols[j].tobytes())
+                  for j in range(p.block_ext)]
+        root = self.mc.commit_leaves(leaves, nonces)
         commitment = LigeroCommitment(root=root)
         write_commitment(commitment, ts)
         return commitment
