@@ -169,13 +169,17 @@ class LigeroProver:
         arr_b = jnp.asarray(arr_b)
         arr_d = jnp.asarray(arr_d)
 
-        # LFZK_HOST_MERKLE=1: device RS encode + tableau only, column
+        # Host-Merkle route: device RS encode + tableau only, column
         # hashing + Merkle on the host (native C SHA-256).  Same root,
-        # same proof bytes — a fallback for relay compile budgets where
-        # the fully-fused commit program is too expensive to compile.
+        # same proof bytes.  Default for large tableaux — the fully
+        # fused commit program at mdoc scale (block_ext ~3.3k x 40-block
+        # columns) takes the remote-compile helper >1 h, while the
+        # host hash costs ~100 ms on the native SHA.  LFZK_HOST_MERKLE
+        # forces it on (1) or off (0).
         import os as _os
 
-        if _os.environ.get("LFZK_HOST_MERKLE") == "1":
+        hm = _os.environ.get("LFZK_HOST_MERKLE")
+        if hm == "1" or (hm != "0" and p.block_ext > 2048):
             return self._commit_host_merkle(ts, arr_b, arr_d, nonces)
 
         # One device program: RS encode + tableau + natural serialization
