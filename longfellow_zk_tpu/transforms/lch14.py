@@ -69,6 +69,16 @@ def bits_to_halfwords(bits: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _const_mul_matrix_or_trivial(c: int) -> np.ndarray:
+    """_const_mul_matrix with the 0/1 shortcuts materialized."""
+    if c == 0:
+        return np.zeros((128, 128), dtype=np.int8)
+    if c == 1:
+        return np.eye(128, dtype=np.int8)
+    return _const_mul_matrix(c)
+
+
+@functools.lru_cache(maxsize=4096)
 def _const_mul_matrix(c: int) -> np.ndarray:
     """M_c[j, k] = bit k of (c * x^j mod poly): y = x @ M_c over GF(2)."""
     M = np.zeros((128, 128), dtype=np.int8)
@@ -148,15 +158,29 @@ class LCH14:
         tw0 = self.twiddle(i, coset)
 
         def tw_mul(v: jax.Array) -> jax.Array:
-            """t[u] = tw(u) * v[u] via the affine decomposition."""
-            t = mul_const_bits(v, tw0)
-            for k in range(l - 1 - i):
-                c = self.w_hat[i][(i + 1) + k]
-                zk = mul_const_bits(v, c)
+            """t[u] = tw(u) * v[u] via the affine decomposition — all
+            constants of the stage in ONE parity matmul ([128,
+            (nk+1)*128] concatenated matrices), then nk masked XOR
+            combines.  One dot_general per stage instead of up to l;
+            the per-matmul trace cost is what made mdoc-scale encode
+            programs uncompilable within the relay budget."""
+            nk = l - 1 - i
+            consts = [tw0] + [self.w_hat[i][(i + 1) + k]
+                              for k in range(nk)]
+            Mcat = jnp.asarray(np.concatenate(
+                [_const_mul_matrix_or_trivial(c) for c in consts],
+                axis=1))
+            Y = jax.lax.dot_general(
+                v, Mcat,
+                dimension_numbers=(((v.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            Y = (Y & 1).astype(INT8)
+            t = Y[..., :128]
+            for k in range(nk):
                 mask = ((np.arange(G) >> k) & 1).astype(np.int8)
                 maskj = jnp.asarray(mask).reshape(
                     (1,) * len(head) + (G, 1, 1))
-                t = t ^ (zk & maskj)
+                t = t ^ (Y[..., (k + 1) * 128 : (k + 2) * 128] & maskj)
             return t
 
         if forward:
