@@ -64,4 +64,13 @@ def mul_mode() -> str:
         tracing = True
     if not tracing:
         return "unrolled"
-    return "semi"
+    # Under jit, graph-compact by default: the TPU remote-compile relay
+    # processes roughly 1-2k HLO ops/min, so the semi-unrolled form
+    # (~0.7-2k ops per multiply call site) prices mdoc-scale programs
+    # at HOURS of compile while compact (~100 ops) lands in minutes.
+    # Device time for the mul itself is a minor term next to the
+    # gather-bound sumcheck rounds.  LFZK_MUL_MODE=semi restores the
+    # old default.
+    import os as _os
+
+    return _os.environ.get("LFZK_MUL_MODE", "compact")

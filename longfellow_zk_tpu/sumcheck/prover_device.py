@@ -210,15 +210,15 @@ def _wire_merge_plan(h0: np.ndarray, h1: np.ndarray, logw: int):
     uniq = [len(np.unique(skey >> np.int64(2 * k)))
             for k in range(logw + 1)]
 
-    # stage boundaries: re-merge when the pair count drops 3x
+    # Stage policy: every extra stage is another scan body in the trace
+    # (~minutes of remote-compile time per layer), so cap at TWO — the
+    # initial dedup captures most of the win; one re-merge is added only
+    # when the pair count drops hard AND stays big enough to matter.
     shifts = [0]
-    while shifts[-1] < logw and len(shifts) < 4:
-        k = shifts[-1]
-        nk = next((k2 for k2 in range(k + 1, logw)
-                   if uniq[k2] * 3 <= uniq[k]), logw)
-        if nk >= logw:
-            break
-        shifts.append(nk)
+    k2 = next((k for k in range(1, logw - 1)
+               if uniq[k] * 6 <= uniq[0]), None)
+    if k2 is not None and uniq[0] >= 262_144:
+        shifts.append(k2)
 
     stages = []
     prev_key = skey
