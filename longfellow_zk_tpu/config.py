@@ -42,7 +42,7 @@ def unrolled_mul() -> bool:
         return False
 
 
-def mul_mode() -> str:
+def mul_mode(limbs: int = 16) -> str:
     """'unrolled' | 'semi' | 'compact'.
 
     - eager / TPU: fully unrolled per-limb form (fuses best, no tracing
@@ -64,13 +64,18 @@ def mul_mode() -> str:
         tracing = True
     if not tracing:
         return "unrolled"
-    # Under jit, graph-compact by default: the TPU remote-compile relay
-    # processes roughly 1-2k HLO ops/min, so the semi-unrolled form
-    # (~0.7-2k ops per multiply call site) prices mdoc-scale programs
-    # at HOURS of compile while compact (~100 ops) lands in minutes.
-    # Device time for the mul itself is a minor term next to the
-    # gather-bound sumcheck rounds.  LFZK_MUL_MODE=semi restores the
-    # old default.
+    # Under jit, graph-compact by default for WIDE fields: the TPU
+    # remote-compile relay processes roughly 1-2k HLO ops/min, so the
+    # semi-unrolled form (~0.7-2k ops per multiply call site) prices
+    # Fp256-scale programs at HOURS of compile while compact (~100 ops)
+    # lands in minutes.  Narrow fields (L <= 8: fp64/fp128) keep the
+    # semi form — their call sites are ~4x smaller and the flagship
+    # fp128 programs are already compiled in that form.  Device time of
+    # the mul is a minor term next to the gather-bound sumcheck rounds.
+    # LFZK_MUL_MODE forces one mode for every field.
     import os as _os
 
-    return _os.environ.get("LFZK_MUL_MODE", "compact")
+    forced = _os.environ.get("LFZK_MUL_MODE")
+    if forced:
+        return forced
+    return "semi" if limbs <= 8 else "compact"

@@ -443,7 +443,7 @@ class PrimeField:
     def mul(self, a: Array, b: Array) -> Array:
         from .. import config
 
-        mode = config.mul_mode()
+        mode = config.mul_mode(self.L)
         if mode == "unrolled":
             al, bl = self._unstack(a), self._unstack(b)
             shp = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])

@@ -135,18 +135,35 @@ _SHIFT_PERM = np.array([4 * ((c + r) % 4) + r for c in range(4)
 
 
 def aes256_expand(key: jax.Array) -> jax.Array:
-    """uint8[32] -> round keys uint8[15, 16] (column-major per round)."""
+    """uint8[32] -> round keys uint8[15, 16] (column-major per round).
+
+    Key schedule as a lax.scan over 8-word windows (the per-squeeze
+    expand sits inside every sumcheck round's traced body; the unrolled
+    52-step form priced ~260 ops per call site on the remote compiler).
+    """
     sbox = jnp.asarray(_SBOX_NP)
-    words: List[jax.Array] = [key[4 * i : 4 * i + 4] for i in range(8)]
-    for i in range(8, 60):
-        t = words[i - 1]
-        if i % 8 == 0:
-            t = jnp.take(sbox, jnp.roll(t, -1))
-            t = t.at[0].set(t[0] ^ np.uint8(_RCON_NP[i // 8 - 1]))
-        elif i % 8 == 4:
-            t = jnp.take(sbox, t)
-        words.append(words[i - 8] ^ t)
-    return jnp.stack(words).reshape(15, 16)
+    win0 = key.reshape(8, 4)
+
+    def step(win, rcon):
+        t = win[7]
+        t8 = jnp.take(sbox, jnp.roll(t, -1))
+        t8 = t8.at[0].set(t8[0] ^ rcon)
+        w0 = win[0] ^ t8
+        w1 = win[1] ^ w0
+        w2 = win[2] ^ w1
+        w3 = win[3] ^ w2
+        t4 = jnp.take(sbox, w3)
+        w4 = win[4] ^ t4
+        w5 = win[5] ^ w4
+        w6 = win[6] ^ w5
+        w7 = win[7] ^ w6
+        nwin = jnp.stack([w0, w1, w2, w3, w4, w5, w6, w7])
+        return nwin, nwin
+
+    rcons = jnp.asarray(np.asarray(_RCON_NP[:7], dtype=np.uint8))
+    _, wins = jax.lax.scan(step, win0, rcons)  # [7, 8, 4]
+    words = jnp.concatenate([win0[None], wins]).reshape(64, 4)
+    return words[:60].reshape(15, 16)
 
 
 def _xt(a: jax.Array) -> jax.Array:
@@ -164,18 +181,21 @@ def aes256_block(rk: jax.Array, nb: jax.Array) -> jax.Array:
     ctr = ctr.at[2].set(((nb >> np.uint32(16)) & np.uint32(0xFF)).astype(_U8))
     ctr = ctr.at[3].set(((nb >> np.uint32(24)) & np.uint32(0xFF)).astype(_U8))
     s = ctr ^ rk[0]
-    for r in range(1, 15):
+
+    # middle rounds as a scan (13 identical bodies; the body is traced
+    # once instead of inflating every FS call site)
+    def mid(s, rkr):
         t = jnp.take(sbox, jnp.take(s, perm))
-        if r < 14:
-            m = t.reshape(4, 4)  # [column, row]
-            a0, a1, a2, a3 = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
-            o0 = _xt(a0) ^ (_xt(a1) ^ a1) ^ a2 ^ a3
-            o1 = a0 ^ _xt(a1) ^ (_xt(a2) ^ a2) ^ a3
-            o2 = a0 ^ a1 ^ _xt(a2) ^ (_xt(a3) ^ a3)
-            o3 = (_xt(a0) ^ a0) ^ a1 ^ a2 ^ _xt(a3)
-            t = jnp.stack([o0, o1, o2, o3], axis=1).reshape(16)
-        s = t ^ rk[r]
-    return s
+        m = t.reshape(4, 4)  # [column, row]
+        a0, a1, a2, a3 = m[:, 0], m[:, 1], m[:, 2], m[:, 3]
+        o0 = _xt(a0) ^ (_xt(a1) ^ a1) ^ a2 ^ a3
+        o1 = a0 ^ _xt(a1) ^ (_xt(a2) ^ a2) ^ a3
+        o2 = a0 ^ a1 ^ _xt(a2) ^ (_xt(a3) ^ a3)
+        o3 = (_xt(a0) ^ a0) ^ a1 ^ a2 ^ _xt(a3)
+        return jnp.stack([o0, o1, o2, o3], axis=1).reshape(16) ^ rkr, None
+
+    s, _ = jax.lax.scan(mid, s, rk[1:14])
+    return jnp.take(sbox, jnp.take(s, perm)) ^ rk[14]
 
 
 # ---------------------------------------------------------------------------
