@@ -165,12 +165,17 @@ def _contig_fold(F, x, starts, ends):
     ax = x.ndim - 1
     bshape = (1,) * ax + (-1,)
     if F.kCharacteristicTwo:
-        px = jax.lax.associative_scan(jax.lax.bitwise_xor, x, axis=ax)
-        pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=ax)
-        ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=ax)
-        ps = jnp.where((starts > 0).reshape(bshape), ps,
-                       jnp.zeros_like(ps))
-        return pe ^ ps
+        # XOR prefix via bitplane cumsum: jnp.cumsum lowers to one
+        # well-optimized op, while associative_scan's strided-slice tree
+        # at millions of elements takes the remote compiler tens of
+        # minutes.  Parity of wrapped u32 sums is exact.
+        planes = F._to_bitplanes(x)  # [128, ..., U]
+        px = jnp.cumsum(planes, axis=-1, dtype=jnp.uint32)
+        pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=-1)
+        ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=-1)
+        ps = jnp.where((starts > 0).reshape((1,) * (px.ndim - 1) + (-1,)),
+                       ps, jnp.zeros_like(ps))
+        return F._from_bitplanes((pe - ps) & jnp.uint32(1))
     if type(F).__name__ == "Fp2":
         return jnp.stack([_contig_fold(F.f, x[0], starts, ends),
                           _contig_fold(F.f, x[1], starts, ends)])
@@ -376,22 +381,25 @@ class DeviceSumcheckProver:
         terms = F.select(jnp.broadcast_to(keep, terms.shape[1:]), terms,
                          jnp.zeros_like(terms))
         if F.kCharacteristicTwo:
-            # segment XOR via inclusive prefix scan + boundary gathers
-            # (terms are g-sorted in _quad_dev); avoids both scatters and
-            # the 128-bitplane segment_sum at mdoc scale (7.7M terms).
+            # segment XOR via bitplane-cumsum prefix + boundary gathers
+            # (terms are g-sorted in _quad_dev); avoids scatters, the
+            # 128-bitplane segment_sum, AND associative_scan, whose
+            # strided-slice tree is pathologically slow to compile at
+            # mdoc scale (7.7M terms).  Wrapped-u32 parity is exact.
             tax = terms.ndim - 2
-            px = jax.lax.associative_scan(jax.lax.bitwise_xor, terms,
-                                          axis=tax)
+            planes = F._to_bitplanes(terms)  # [128, T, C...]
+            ptax = tax  # bitplanes replace the limb axis in place
+            px = jnp.cumsum(planes, axis=ptax, dtype=jnp.uint32)
             starts = quad_dev["seg_start"]  # int32 [nv]
             ends = quad_dev["seg_end"]
-            pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=tax)
-            ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=tax)
-            nb = terms.ndim - 1 - tax
+            pe = jnp.take(px, jnp.maximum(ends - 1, 0), axis=ptax)
+            ps = jnp.take(px, jnp.maximum(starts - 1, 0), axis=ptax)
+            nb = planes.ndim - 1 - ptax
             em = (ends > 0).reshape((-1,) + (1,) * nb)
             sm = (starts > 0).reshape((-1,) + (1,) * nb)
             pe = jnp.where(em, pe, 0)
             ps = jnp.where(sm, ps, 0)
-            V = pe ^ ps
+            V = F._from_bitplanes((pe - ps) & jnp.uint32(1))
         else:
             V = F.lazy_segment_sum(terms, quad_dev["g"], nv)
         return V, ok
